@@ -1,0 +1,600 @@
+"""Vectorized multi-stream range coder in JAX (TPU-native formulation).
+
+The reference implementation (cc/kernels/range_coder_kernels.cc) runs one
+sequential C++ coder per stream on CPU threads.  Here *streams are the vector
+axis*: all coder states — ``(base, size-1, delayed-carry)`` for the encoder,
+``(base, size-1, value, read-pos)`` for the decoder — live in u32 vectors of
+shape [num_streams], and one `lax.scan` over micro-op steps advances every
+stream in lockstep on the VPU.  Bit-exactness with the reference recurrence
+(cc/lib/range_coder.cc:37-307) is maintained by doing all interval arithmetic
+in split 32-bit integer pieces (48-bit products are represented as hi/lo
+pairs, see `_mul_size`).
+
+Encoder output-side trick: a sequential coder appends a *variable* number of
+bytes per step (delayed-carry flushes can emit long 0x00/0xFF runs), which
+does not vectorize.  Instead, every 16-bit renormalization reserves exactly
+one 2-byte slot in the output buffer, tagged FINAL (value known), PEND_START
+(start of an ambiguous carry group) or PEND_FILL (carry-run continuation).
+Carry resolutions are recorded as (group, direction) events.  After the scan,
+a single vectorized post-pass resolves every pending slot:
+
+    PEND_START -> delay    (carry resolved up)   or  delay - 1  (down)
+    PEND_FILL  -> 0x0000                         or  0xFFFF
+
+which reproduces the reference's byte output exactly, including the
+finalization rules (trailing zeros of an unresolved group are dropped by
+truncating the stream length).
+
+Elias-gamma overflow coding of unbounded alphabets
+(range_coder_kernels.cc:290-322) is handled on the encode side by expanding
+each symbol into a vectorized sequence of (lower, upper, precision) micro-ops
+before the scan, and on the decode side by masked `lax.while_loop`s that only
+iterate while some lane is still consuming gamma bits.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compression_tpu.codec import tables
+
+__all__ = [
+    "encode_streams",
+    "decode_streams",
+    "encode_core",
+    "decode_core",
+    "micro_ops_from_symbols",
+    "DeviceCdfTable",
+]
+
+_U16 = jnp.uint32(0xFFFF)
+_MASK32 = (1 << 32) - 1
+
+
+class DeviceCdfTable:
+    """Dense CDF table as device arrays (rows padded to a rectangle)."""
+
+    def __init__(self, table: tables.CdfTable):
+        self.cdf = jnp.asarray(table.cdf.astype(np.uint32))
+        self.length = jnp.asarray(table.length.astype(np.int32))
+        self.precision = jnp.asarray(table.precision.astype(np.uint32))
+        self.overflow = jnp.asarray(table.overflow)
+        self.num_rows = int(table.num_rows)
+        self.max_len = int(table.max_len)
+        self.any_overflow = bool(np.any(table.overflow))
+
+
+def _mul_size(size_minus1, v):
+    """(hi, lo) of (size_minus1 + 1) * v for v <= 2**16, all uint32 pieces."""
+    h = size_minus1 >> 16
+    l = size_minus1 & _U16
+    p1 = h * v  # < 2**32
+    p2a = l * v  # < 2**32
+    p2 = p2a + v
+    c2 = (p2 < p2a).astype(jnp.uint32)
+    lo1 = p1 << 16
+    lo = lo1 + p2
+    c1 = (lo < lo1).astype(jnp.uint32)
+    hi = (p1 >> 16) + c2 + c1
+    return hi, lo
+
+
+def _mul_shift(size_minus1, v, precision):
+    """((size_minus1 + 1) * v) >> precision, mod 2**32 (exact for v<=2**p)."""
+    hi, lo = _mul_size(size_minus1, v)
+    return (hi << (32 - precision)) | (lo >> precision)
+
+
+# -----------------------------------------------------------------------------
+# Encoder
+# -----------------------------------------------------------------------------
+def _encode_step(carry, op):
+    """One micro-op for all streams; mirrors RangeEncoder::Encode exactly."""
+    base, sm1, delay, ptr, pend_start, group = carry
+    lower, upper, prec, mask = op
+
+    a = _mul_shift(sm1, lower, prec)
+    b = _mul_shift(sm1, upper, prec) - 1
+    nb = base + a
+    overflow = nb < a  # base wrapped past 2**32
+    ns = b - a
+    straddle = (nb + ns) < nb  # interval still straddles 2**32 (state 1)
+    renorm = (ns >> 16) == 0
+
+    # Carry resolution (flush of the deferred chunk) happens iff we are in
+    # state 1 (delay != 0) and the straddle has resolved.
+    res_event = (delay != 0) & ~straddle & mask
+    res_dir = overflow  # True: resolves up (keep value, 0x00 fill)
+
+    shifted_base = nb << 16
+    shifted_sm1 = (ns << 16) | _U16
+    new_base = jnp.where(renorm, shifted_base, nb)
+    new_sm1 = jnp.where(renorm, shifted_sm1, ns)
+
+    top = nb >> 16
+    ambiguous = (shifted_base + shifted_sm1) < shifted_base
+
+    # Write tag for the reserved 2-byte slot:
+    # 0 none / 1 FINAL(top) / 2 PEND_START(top+1) / 3 PEND_FILL.
+    tag = jnp.where(
+        ~mask | ~renorm,
+        0,
+        jnp.where(straddle, 3, jnp.where(ambiguous, 2, 1)),
+    ).astype(jnp.int32)
+
+    new_delay = jnp.where(
+        straddle, delay, jnp.where(tag == 2, top + 1, 0))
+    w_val = jnp.where(tag == 2, top + 1, jnp.where(tag == 1, top, 0))
+    new_group = group + (tag == 2)
+    w_group = jnp.where(tag == 2, new_group, group)
+    new_pend_start = jnp.where(tag == 2, ptr, pend_start)
+    w_pos = ptr
+    new_ptr = ptr + 2 * (tag != 0)
+
+    keep = lambda new, old: jnp.where(mask, new, old)
+    carry = (
+        keep(new_base, base),
+        keep(new_sm1, sm1),
+        keep(new_delay, delay),
+        keep(new_ptr, ptr),
+        keep(new_pend_start, pend_start),
+        keep(new_group, group),
+    )
+    out = (w_pos, tag, w_val, w_group, res_event, group, res_dir)
+    return carry, out
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def encode_core(lower, upper, prec, mask, out_size):
+    """Runs the encoder over micro-ops.
+
+    Args:
+      lower, upper, prec: uint32 [T, S] micro-op streams.
+      mask: bool [T, S]; False steps are no-ops.
+      out_size: static output buffer length per stream (>= 2*T + 2).
+
+    Returns:
+      (bytes [S, out_size] uint8, lengths [S] int32).
+    """
+    num_steps, num_streams = lower.shape
+    init = (
+        jnp.zeros(num_streams, jnp.uint32),  # base
+        jnp.full(num_streams, _MASK32, jnp.uint32),  # size_minus1
+        jnp.zeros(num_streams, jnp.uint32),  # delay (16-bit value or 0)
+        jnp.zeros(num_streams, jnp.int32),  # ptr
+        jnp.zeros(num_streams, jnp.int32),  # pend_start
+        jnp.zeros(num_streams, jnp.int32),  # open group count
+    )
+    (base, sm1, delay, ptr, pend_start, _), ys = jax.lax.scan(
+        _encode_step, init, (lower, upper, prec, mask))
+    w_pos, tag, w_val, w_group, res_event, res_group, res_dir = ys
+
+    # Resolve carry groups: group g's direction is set by its resolution
+    # event; unresolved groups (still open at finalize) default to "up".
+    res_dir_by_group = jnp.ones((num_streams, num_steps + 2), bool)
+    s_ids = jnp.broadcast_to(
+        jnp.arange(num_streams)[None, :], res_group.shape)
+    res_dir_by_group = res_dir_by_group.at[
+        s_ids, jnp.where(res_event, res_group, num_steps + 1)
+    ].set(jnp.where(res_event, res_dir, True))
+
+    up = res_dir_by_group[s_ids, w_group]  # [T, S]
+    value16 = jnp.where(
+        tag == 1,
+        w_val,
+        jnp.where(
+            tag == 2,
+            jnp.where(up, w_val, w_val - 1),
+            jnp.where(up, jnp.uint32(0), jnp.uint32(0xFFFF)),
+        ),
+    )
+
+    buf = jnp.zeros((num_streams, out_size), jnp.uint8)
+    pos = jnp.where(tag > 0, w_pos, out_size)  # park masked writes OOB
+    buf = buf.at[s_ids, pos].set(
+        (value16 >> 8).astype(jnp.uint8), mode="drop")
+    buf = buf.at[s_ids, pos + 1].set(
+        (value16 & 0xFF).astype(jnp.uint8), mode="drop")
+
+    # Finalization (RangeEncoder::Finalize).
+    in_delay = delay != 0
+    upper_end = base + sm1
+    mid24 = ((base - 1) >> 24) + 1
+    use24 = mid24 <= (upper_end >> 24)
+    mid16 = ((base - 1) >> 16) + 1
+    f_b0 = jnp.where(use24, mid24, mid16 >> 8).astype(jnp.uint8)
+    f_b1 = (mid16 & 0xFF).astype(jnp.uint8)
+    f_count = jnp.where(
+        base == 0, 0, jnp.where(use24, 1, jnp.where((mid16 & 0xFF) != 0, 2, 1))
+    ).astype(jnp.int32)
+
+    sid = jnp.arange(num_streams)
+    pos0 = jnp.where(~in_delay & (f_count >= 1), ptr, out_size)
+    pos1 = jnp.where(~in_delay & (f_count == 2), ptr + 1, out_size)
+    buf = buf.at[sid, pos0].set(f_b0, mode="drop")
+    buf = buf.at[sid, pos1].set(f_b1, mode="drop")
+
+    lengths = jnp.where(
+        in_delay,
+        pend_start + jnp.where((delay & 0xFF) != 0, 2, 1),
+        ptr + f_count,
+    ).astype(jnp.int32)
+    return buf, lengths
+
+
+def _floor_log2(x):
+    """Exact floor(log2(x)) for uint32 x >= 1, via comparison counting."""
+    k = jnp.arange(1, 32, dtype=jnp.uint32)
+    return jnp.sum(
+        x[..., None] >= (jnp.uint32(1) << k), axis=-1).astype(jnp.uint32)
+
+
+def micro_ops_from_symbols(symbols, indexes, table: DeviceCdfTable,
+                           slots_per_symbol: int, num_steps: int):
+    """Expands symbols into compacted (lower, upper, prec, mask) micro-ops.
+
+    Overflow rows (escape + Elias gamma) expand into up to
+    ``slots_per_symbol`` micro-ops; the result is compacted per stream so the
+    scan length is ``num_steps`` (the caller guarantees it is sufficient).
+    All shapes are static; runs fully vectorized before the scan.
+
+    Args:
+      symbols: int32 [S, N] (possibly out of range for overflow rows).
+      indexes: int32 [S, N] CDF row per element.
+      table: DeviceCdfTable.
+      slots_per_symbol: static int K.
+      num_steps: static int T >= max stream micro-op total.
+
+    Returns:
+      (lower, upper, prec, mask) each [T, S] ready for encode_core.
+    """
+    num_streams, n = symbols.shape
+    rows = indexes
+    prec_r = table.precision[rows]  # [S, N] uint32
+    len_r = table.length[rows]  # [S, N] int32
+    ovf_r = table.overflow[rows]
+    mv = len_r - 2  # escape symbol index for overflow rows
+
+    v = symbols
+    sign = ovf_r & (v < 0)
+    over = ovf_r & ~sign & (v >= mv)
+    escape = sign | over
+    vq = jnp.where(escape, mv, jnp.where(ovf_r, v, jnp.clip(v, 0, len_r - 2)))
+    gamma = jnp.where(
+        sign, -v, jnp.where(over, v - mv + 1, 1)).astype(jnp.uint32)
+    nbits = _floor_log2(jnp.maximum(gamma, 1))  # n_top
+
+    flat_cdf = table.cdf.reshape(-1)
+    base_idx = rows * table.max_len
+    c_lo = flat_cdf[base_idx + vq]
+    c_hi = flat_cdf[base_idx + vq + 1]
+
+    count = jnp.where(escape, 3 + 2 * nbits.astype(jnp.int32), 1)
+
+    k = jnp.arange(slots_per_symbol, dtype=jnp.int32)  # [K]
+    kb = k[None, None, :]
+    nb = nbits.astype(jnp.int32)[..., None]
+    active = kb < count[..., None]
+
+    is_main = kb == 0
+    is_unary = (kb >= 1) & (kb <= nb)
+    is_bit = (kb > nb) & (kb <= 2 * nb + 1)
+    is_sign = kb == 2 * nb + 2
+    bit_shift = jnp.clip(2 * nb + 1 - kb, 0, 31).astype(jnp.uint32)
+    bit = (gamma[..., None] >> bit_shift) & 1
+    sgn = sign[..., None].astype(jnp.uint32)
+
+    lower = jnp.where(
+        is_main, c_lo[..., None],
+        jnp.where(is_unary, 0, jnp.where(is_bit, bit, sgn))
+    ).astype(jnp.uint32)
+    upper = jnp.where(
+        is_main, c_hi[..., None],
+        jnp.where(is_unary, 1, jnp.where(is_bit, bit + 1, sgn + 1))
+    ).astype(jnp.uint32)
+    prec = jnp.where(is_main, prec_r[..., None], 1).astype(jnp.uint32)
+
+    # Compact: position of slot k of element j in the stream's op sequence.
+    offsets = jnp.cumsum(count, axis=1) - count  # exclusive
+    pos = offsets[..., None] + kb  # [S, N, K]
+    pos = jnp.where(active, pos, num_steps)  # park inactive
+
+    s_ids = jnp.broadcast_to(
+        jnp.arange(num_streams)[:, None, None], pos.shape)
+    out_shape = (num_streams, num_steps)
+
+    def scatter(vals, fill):
+        out = jnp.full(out_shape, fill, vals.dtype)
+        return out.at[s_ids, pos].set(vals, mode="drop")
+
+    lower_c = scatter(lower, jnp.uint32(0))
+    upper_c = scatter(upper, jnp.uint32(1))
+    prec_c = scatter(prec, jnp.uint32(1))
+    mask_c = jnp.zeros(out_shape, bool).at[s_ids, pos].set(
+        active, mode="drop")
+    # Scan wants [T, S].
+    return lower_c.T, upper_c.T, prec_c.T, mask_c.T
+
+
+# -----------------------------------------------------------------------------
+# Decoder
+# -----------------------------------------------------------------------------
+def _read16(src, src_len, value, pos):
+    """Two Read16BitValue byte pulls with zero padding past the end."""
+    num_streams = value.shape[0]
+    sid = jnp.arange(num_streams)
+    for _ in range(2):
+        avail = pos < src_len
+        byte = jnp.where(
+            avail, src[sid, jnp.minimum(pos, src.shape[1] - 1)], 0
+        ).astype(jnp.uint32)
+        value = ((value << 8) | byte)
+        pos = pos + avail.astype(jnp.int32)
+    return value, pos
+
+
+def _refine_decoder(state, src, src_len, a, b, mask):
+    """Applies the (a, b) interval refinement + conditional renormalization."""
+    base, sm1, value, pos = state
+    nb = base + a
+    ns = b - a
+    renorm = ((ns >> 16) == 0) & mask
+    nb2 = jnp.where(renorm, nb << 16, nb)
+    ns2 = jnp.where(renorm, (ns << 16) | _U16, ns)
+
+    # Read16BitValue: two byte pulls, zero-padded past the end; the read
+    # pointer only advances for in-range bytes (range_coder.h:273-282).
+    sid = jnp.arange(value.shape[0])
+    p0 = pos
+    avail0 = renorm & (p0 < src_len)
+    b0 = jnp.where(avail0, src[sid, jnp.minimum(p0, src.shape[1] - 1)], 0)
+    p1 = p0 + avail0.astype(jnp.int32)
+    avail1 = renorm & (p1 < src_len)
+    b1 = jnp.where(avail1, src[sid, jnp.minimum(p1, src.shape[1] - 1)], 0)
+    p2 = p1 + avail1.astype(jnp.int32)
+    new_value = jnp.where(
+        renorm,
+        (value << 16) | (b0.astype(jnp.uint32) << 8) | b1.astype(jnp.uint32),
+        value)
+    new_pos = jnp.where(renorm, p2, pos)
+
+    keep = lambda new, old: jnp.where(mask, new, old)
+    return (keep(nb2, base), keep(ns2, sm1), keep(new_value, value),
+            keep(new_pos, pos))
+
+
+def _decode_symbol(state, src, src_len, cdf_rows, length, prec, mask):
+    """Decodes one symbol per active lane. cdf_rows: [S, Lmax] uint32."""
+    base, sm1, value, pos = state
+    vb = value - base
+    vb1 = vb + 1
+    wrapped = vb1 == 0
+    lb_hi = jnp.where(wrapped, jnp.uint32(1) << prec, vb1 >> (32 - prec))
+    lb_lo = vb1 << prec
+
+    rhs_hi, rhs_lo = _mul_size(sm1[:, None], cdf_rows)
+    ge = (rhs_hi > lb_hi[:, None]) | (
+        (rhs_hi == lb_hi[:, None]) & (rhs_lo >= lb_lo[:, None]))
+    max_len = cdf_rows.shape[1]
+    k = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+    valid = (k >= 1) & (k < length[:, None])
+    cand = jnp.where(ge & valid, k, max_len)
+    pv = jnp.min(cand, axis=1)
+    pv = jnp.minimum(pv, jnp.maximum(length - 1, 1))  # decode-error clamp
+
+    sid = jnp.arange(base.shape[0])
+    c_lo = cdf_rows[sid, pv - 1]
+    c_hi = cdf_rows[sid, pv]
+    a = _mul_shift(sm1, c_lo, prec)
+    b = _mul_shift(sm1, c_hi, prec) - 1
+    state = _refine_decoder(state, src, src_len, a, b, mask)
+    return state, pv - 1
+
+
+def _decode_binary(state, src, src_len, mask):
+    """Decodes one bit with the binary uniform CDF {0,1,2} at precision 1."""
+    base, sm1, value, pos = state
+    vb1 = (value - base) + 1
+    wrapped = vb1 == 0
+    lb_hi = jnp.where(wrapped, jnp.uint32(2), vb1 >> 31)
+    lb_lo = vb1 << 1
+    # size * 1 = sm1 + 1: hi = (sm1 == U32), lo = sm1 + 1.
+    rhs_lo = sm1 + 1
+    rhs_hi = (rhs_lo == 0).astype(jnp.uint32)
+    ge = (rhs_hi > lb_hi) | ((rhs_hi == lb_hi) & (rhs_lo >= lb_lo))
+    bit = jnp.where(ge, jnp.uint32(0), jnp.uint32(1))
+    # a,b from cdf values (bit, bit+1) at precision 1.
+    a = _mul_shift(sm1, bit, jnp.uint32(1))
+    b = _mul_shift(sm1, bit + 1, jnp.uint32(1)) - 1
+    state = _refine_decoder(state, src, src_len, a, b, mask)
+    return state, bit
+
+
+def _gamma_decode(state, src, src_len, active):
+    """Masked Elias-gamma decode for lanes in `active`."""
+
+    def unary_cond(c):
+        _, act, _ = c
+        return jnp.any(act)
+
+    def unary_body(c):
+        state, act, n = c
+        state, bit = _decode_binary(state, src, src_len, act)
+        n = n + jnp.where(act & (bit == 0), 1, 0).astype(jnp.uint32)
+        # The n < 31 bound guards against infinite loops on corrupt streams.
+        act = act & (bit == 0) & (n < 31)
+        return state, act, n
+
+    n0 = jnp.zeros(active.shape, jnp.uint32)
+    state, _, n = jax.lax.while_loop(
+        unary_cond, unary_body, (state, active, n0))
+
+    value = jnp.where(active, jnp.uint32(1) << n, 0)
+
+    def bits_cond(c):
+        _, k, _ = c
+        return jnp.any(k > 0)
+
+    def bits_body(c):
+        state, k, value = c
+        act = active & (k > 0)
+        state, bit = _decode_binary(state, src, src_len, act)
+        value = jnp.where(act, value | (bit << (k - 1)), value)
+        k = jnp.where(act, k - 1, k)
+        return state, k, value
+
+    state, _, value = jax.lax.while_loop(
+        bits_cond, bits_body, (state, jnp.where(active, n, 0), value))
+
+    state, sign = _decode_binary(state, src, src_len, active)
+    return state, value, sign
+
+
+@functools.partial(jax.jit, static_argnums=(3, 9))
+def decode_core(src, src_len, indexes, num_elements, cdf, length, precision,
+                overflow, init_skip_unused=None, any_overflow=True):
+    """Decodes [S, num_elements] symbols from padded byte buffers.
+
+    Args:
+      src: uint8 [S, L] padded source bytes.
+      src_len: int32 [S] actual byte length per stream.
+      indexes: int32 [S, num_elements] CDF row per element.
+      num_elements: static int.
+      cdf, length, precision, overflow: dense table arrays.
+      any_overflow: static bool; skips gamma machinery when False.
+
+    Returns:
+      (symbols int32 [S, num_elements], sanity bool [S]).
+    """
+    del init_skip_unused
+    num_streams = src.shape[0]
+    src = src.astype(jnp.uint32)
+
+    value0 = jnp.zeros(num_streams, jnp.uint32)
+    pos0 = jnp.zeros(num_streams, jnp.int32)
+    value0, pos0 = _read16(src, src_len, value0, pos0)
+    value0, pos0 = _read16(src, src_len, value0, pos0)
+    init = (
+        jnp.zeros(num_streams, jnp.uint32),
+        jnp.full(num_streams, _MASK32, jnp.uint32),
+        value0,
+        pos0,
+    )
+    all_mask = jnp.ones(num_streams, bool)
+
+    def step(state, row):
+        cdf_rows = cdf[row]
+        len_r = length[row]
+        prec_r = precision[row]
+        state, sym = _decode_symbol(
+            state, src, src_len, cdf_rows, len_r, prec_r, all_mask)
+        sym = sym.astype(jnp.int32)
+        if any_overflow:
+            mv = len_r - 2
+            esc = overflow[row] & (sym == mv)
+            state, gval, gsign = _gamma_decode(state, src, src_len, esc)
+            gv = gval.astype(jnp.int32)
+            decoded = jnp.where(
+                gsign == 1, -gv, gv + mv - 1)
+            sym = jnp.where(esc, decoded, sym)
+        return state, sym
+
+    state, symbols = jax.lax.scan(step, init, indexes.T)
+    symbols = symbols.T
+
+    # Weak sanity check (RangeDecoder::Finalize, range_coder.h:144-169).
+    base, sm1, value, pos = state
+    upper_end = base + sm1
+    straddle = upper_end < base
+    shift_is24 = ((base - 1) >> 24) < (upper_end >> 24)
+    shift = jnp.where(shift_is24, jnp.uint32(24), jnp.uint32(16))
+    mid = ((base - 1) >> shift) + 1
+    ok_mid = (mid << shift) == value
+    sanity = jnp.where(
+        (base == 0) | straddle, value == 0, ok_mid) & (pos == src_len)
+    return symbols, sanity
+
+
+# -----------------------------------------------------------------------------
+# Host-facing wrappers
+# -----------------------------------------------------------------------------
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def encode_streams(symbols, table, indexes=None) -> tuple[np.ndarray, np.ndarray]:
+    """Encodes int32 [S, N] symbols; returns (bytes [S, L] u8, lengths [S]).
+
+    Host wrapper: computes the static micro-op budget from the data, then
+    dispatches the jitted core.  Channel mode (indexes=None) assigns element
+    j the CDF row ``j % num_rows``.
+    """
+    if isinstance(table, tables.CdfTable):
+        table = DeviceCdfTable(table)
+    symbols = np.asarray(symbols, np.int32)
+    num_streams, n = symbols.shape
+    if indexes is None:
+        indexes = np.broadcast_to(
+            np.arange(n, dtype=np.int32) % table.num_rows, (num_streams, n))
+    indexes = np.asarray(indexes, np.int32)
+
+    # Static micro-op budget (slots per symbol K, scan length T).
+    len_np = np.asarray(table.length)
+    ovf_np = np.asarray(table.overflow)
+    mv = len_np[indexes] - 2
+    ovf = ovf_np[indexes]
+    sign = ovf & (symbols < 0)
+    over = ovf & ~sign & (symbols >= mv)
+    escape = sign | over
+    gamma = np.where(sign, -symbols.astype(np.int64),
+                     np.where(over, symbols - mv + 1, 1)).astype(np.uint32)
+    nbits = np.floor(np.log2(np.maximum(gamma, 1))).astype(np.int64)
+    count = np.where(escape, 3 + 2 * nbits, 1)
+    slots = int(count.max()) if count.size else 1
+    total = count.sum(axis=1).max() if count.size else 0
+    num_steps = max(int(_round_up(max(int(total), 1), 64)), 64)
+    out_size = _round_up(2 * num_steps + 2, 4)
+
+    ops = micro_ops_from_symbols(
+        jnp.asarray(symbols), jnp.asarray(indexes), table, slots, num_steps)
+    buf, lengths = encode_core(*ops, out_size)
+    return np.asarray(buf), np.asarray(lengths)
+
+
+def decode_streams(byte_buf, byte_lens, num_elements, table, indexes=None):
+    """Decodes padded byte buffers back to int32 symbols [S, num_elements]."""
+    if isinstance(table, tables.CdfTable):
+        table = DeviceCdfTable(table)
+    byte_buf = np.asarray(byte_buf, np.uint8)
+    byte_lens = np.asarray(byte_lens, np.int32)
+    num_streams = byte_buf.shape[0]
+    if indexes is None:
+        indexes = np.broadcast_to(
+            np.arange(num_elements, dtype=np.int32) % table.num_rows,
+            (num_streams, num_elements))
+    indexes = np.asarray(indexes, np.int32)
+    symbols, sanity = decode_core(
+        jnp.asarray(byte_buf), jnp.asarray(byte_lens), jnp.asarray(indexes),
+        int(num_elements), table.cdf, table.length, table.precision,
+        table.overflow, None, table.any_overflow)
+    return np.asarray(symbols), np.asarray(sanity)
+
+
+def to_bytes_list(buf, lengths) -> list[bytes]:
+    """Extracts per-stream byte strings from a padded buffer."""
+    return [bytes(buf[s, : int(lengths[s])].tobytes())
+            for s in range(buf.shape[0])]
+
+
+def from_bytes_list(strings) -> tuple[np.ndarray, np.ndarray]:
+    """Packs byte strings into a padded [S, L] buffer + lengths."""
+    lengths = np.asarray([len(s) for s in strings], np.int32)
+    size = max(int(lengths.max(initial=0)), 1)
+    buf = np.zeros((len(strings), size), np.uint8)
+    for i, s in enumerate(strings):
+        buf[i, : len(s)] = np.frombuffer(s, np.uint8)
+    return buf, lengths
