@@ -1,0 +1,195 @@
+"""DSP-correct signal convolution layers (SignalConv1D/2D/3D).
+
+JAX/flax counterpart of the reference's python/layers/signal_conv.py.  The
+semantics (kernel center at K//2, padding/alignment independent of input
+shape, upsample -> conv/corr -> downsample -> bias -> activation) are
+reproduced, but the implementation is a single `lax.conv_general_dilated`
+call per layer: XLA natively fuses lhs dilation (upsampling), window strides
+(downsampling) and explicit padding, so none of the reference's many
+implementation dispatch branches (signal_conv.py:623-952) are needed — the
+compiler picks the fastest lowering for the MXU.
+
+Padding modes:
+  * 'valid': no assumptions outside the input support.
+  * 'same_zeros': zero extension; output sample i aligns with (upsampled)
+    input sample i.
+  * 'same_reflect': reflection around the first/last sample (REFLECT mode);
+    realized by materializing the padding on the upsampled grid, which
+    mirrors the zero-insertion pattern correctly because positions mirror
+    across real samples.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compression_tpu.layers import parameters
+
+__all__ = ["SignalConv1D", "SignalConv2D", "SignalConv3D", "signal_conv"]
+
+
+def _tuplize(value, rank):
+    if isinstance(value, (int, np.integer)):
+        return (int(value),) * rank
+    value = tuple(int(v) for v in value)
+    if len(value) != rank:
+        raise ValueError(f"Expected length-{rank} tuple, got {value}.")
+    return value
+
+
+def _dimension_numbers(rank):
+    spatial = "DHW"[3 - rank:]
+    return (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
+
+
+def signal_conv(inputs, kernel, *, corr=False, strides_down=1, strides_up=1,
+                padding="valid", extra_pad_end=True, channel_separable=False):
+    """Functional signal convolution on a channels-last batch.
+
+    Args:
+      inputs: [batch, spatial..., channels_in].
+      kernel: [spatial..., channels_in, filters] (or for channel_separable:
+        [spatial..., 1, channels_in * filters] grouped by input channel).
+      corr: cross-correlation if True, convolution (flipped kernel) if False.
+      strides_down / strides_up: int or per-dim tuples.
+      padding: 'valid' | 'same_zeros' | 'same_reflect'.
+      extra_pad_end: pad the upsampled grid to a multiple of strides_up.
+      channel_separable: depthwise (per-input-channel) filtering.
+
+    Returns:
+      [batch, spatial_out..., filters((*channels_in if separable))].
+    """
+    rank = inputs.ndim - 2
+    strides_down = _tuplize(strides_down, rank)
+    strides_up = _tuplize(strides_up, rank)
+    support = kernel.shape[:rank]
+    padding = padding.lower()
+    if padding not in ("valid", "same_zeros", "same_reflect"):
+        raise ValueError(f"Unsupported padding mode: {padding}")
+
+    if not corr:
+        kernel = jnp.flip(kernel, axis=tuple(range(rank)))
+
+    # Padding is computed on the upsampled (lhs-dilated) grid.  The kernel
+    # center sits at K//2; after flipping (convolution), the center moves to
+    # (K-1)//2, giving the reference's conv/corr padding asymmetry.
+    pads = []
+    for d in range(rank):
+        k = support[d]
+        extra = strides_up[d] - 1 if extra_pad_end else 0
+        if padding == "valid":
+            pads.append((0, extra))
+        else:
+            before = k // 2 if corr else (k - 1) // 2
+            after = k - 1 - before
+            pads.append((before, after + extra))
+
+    dn = jax.lax.conv_dimension_numbers(
+        inputs.shape, kernel.shape, _dimension_numbers(rank))
+    groups = inputs.shape[-1] if channel_separable else 1
+
+    if padding == "same_reflect":
+        # Materialize reflection padding on the upsampled grid: dilate
+        # explicitly, reflect-pad, then run a valid conv.
+        up = inputs
+        if any(s > 1 for s in strides_up):
+            shape = list(up.shape)
+            for d in range(rank):
+                shape[d + 1] = (shape[d + 1] - 1) * strides_up[d] + 1
+            dil = jnp.zeros(shape, up.dtype)
+            idx = tuple(
+                [slice(None)]
+                + [slice(None, None, s) for s in strides_up]
+                + [slice(None)])
+            up = dil.at[idx].set(up)
+        reflect_pads = [(0, 0)] + [
+            (p[0], min(p[1], up.shape[d + 1] - 1))
+            for d, p in enumerate(pads)] + [(0, 0)]
+        zero_tail = [(0, 0)] + [
+            (0, p[1] - min(p[1], up.shape[d + 1] - 1))
+            for d, p in enumerate(pads)] + [(0, 0)]
+        up = jnp.pad(up, reflect_pads, mode="reflect")
+        if any(p != (0, 0) for p in zero_tail):
+            up = jnp.pad(up, zero_tail)
+        out = jax.lax.conv_general_dilated(
+            up, kernel, window_strides=strides_down,
+            padding=[(0, 0)] * rank, dimension_numbers=dn,
+            feature_group_count=groups)
+    else:
+        out = jax.lax.conv_general_dilated(
+            inputs, kernel, window_strides=strides_down,
+            padding=pads, lhs_dilation=strides_up,
+            dimension_numbers=dn, feature_group_count=groups)
+    return out
+
+
+class _SignalConv(nn.Module):
+    """Flax module wrapper; see `signal_conv` for semantics."""
+
+    rank: int
+    filters: int
+    kernel_support: Union[int, Tuple[int, ...]]
+    corr: bool = False
+    strides_down: Union[int, Tuple[int, ...]] = 1
+    strides_up: Union[int, Tuple[int, ...]] = 1
+    padding: str = "valid"
+    extra_pad_end: bool = True
+    channel_separable: bool = False
+    use_bias: bool = False
+    activation: Optional[Callable[[Any], Any]] = None
+    kernel_parameter: str = "rdft"  # 'rdft' or 'variable'
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        support = _tuplize(self.kernel_support, self.rank)
+        in_channels = x.shape[-1]
+        if self.channel_separable:
+            kernel_shape = support + (1, in_channels * self.filters)
+        else:
+            kernel_shape = support + (in_channels, self.filters)
+
+        fan_in = int(np.prod(support)) * in_channels
+        init_std = (1.0 / max(fan_in, 1)) ** 0.5
+
+        def kernel_init(key):
+            return init_std * jax.random.truncated_normal(
+                key, -2.0, 2.0, kernel_shape, self.param_dtype)
+
+        if self.kernel_parameter == "rdft":
+            # Real and imaginary parts stacked in one variable so they are
+            # initialized from the same random kernel.
+            def rdft_pair(key):
+                real, imag = parameters.rdft_init(kernel_init(key))
+                return jnp.stack([real, imag])
+
+            rdft = self.param("kernel_rdft", rdft_pair)
+            kernel = parameters.rdft_to_kernel(rdft[0], rdft[1], support)
+        else:
+            kernel = self.param("kernel", kernel_init)
+
+        out = signal_conv(
+            x, kernel, corr=self.corr, strides_down=self.strides_down,
+            strides_up=self.strides_up, padding=self.padding,
+            extra_pad_end=self.extra_pad_end,
+            channel_separable=self.channel_separable)
+
+        if self.use_bias:
+            bias_ch = out.shape[-1]
+            bias = self.param(
+                "bias", nn.initializers.zeros, (bias_ch,), self.param_dtype)
+            out = out + bias
+        if self.activation is not None:
+            out = self.activation(out)
+        return out
+
+
+SignalConv1D = functools.partial(_SignalConv, rank=1)
+SignalConv2D = functools.partial(_SignalConv, rank=2)
+SignalConv3D = functools.partial(_SignalConv, rank=3)

@@ -1,0 +1,263 @@
+"""Layer tests.
+
+SignalConv is compared against an independent numpy implementation of the
+DSP spec (explicit upsample -> pad -> correlate -> downsample), the same
+strategy as the reference's signal_conv_test.py:168-737.
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compression_tpu.layers import GDN, SignalConv1D, SignalConv2D
+from compression_tpu.layers import parameters, signal_conv
+from compression_tpu.layers.initializers import identity_initializer
+
+
+def np_upsample(x, strides_up, extra_pad_end):
+    """Zero-insertion upsampling per spatial dim of an n-D array."""
+    for d, s in enumerate(strides_up):
+        if s == 1:
+            continue
+        n = x.shape[d]
+        length = n * s if extra_pad_end else (n - 1) * s + 1
+        shape = list(x.shape)
+        shape[d] = length
+        up = np.zeros(shape, x.dtype)
+        idx = [slice(None)] * x.ndim
+        idx[d] = slice(None, None, s)
+        up[tuple(idx)] = x
+        x = up
+    return x
+
+
+def np_correlate_valid(x, h):
+    """n-D valid correlation (no scipy dependency)."""
+    out_shape = tuple(x.shape[d] - h.shape[d] + 1 for d in range(x.ndim))
+    out = np.zeros(out_shape, np.float64)
+    for idx in np.ndindex(*h.shape):
+        slices = tuple(
+            slice(idx[d], idx[d] + out_shape[d]) for d in range(x.ndim))
+        out += h[idx] * x[slices]
+    return out
+
+
+def np_signal_conv(x, kernel, corr, strides_up, strides_down, padding,
+                   extra_pad_end):
+    """Spec implementation for one (in->out) channel pair, spatial only."""
+    rank = x.ndim
+    up = np_upsample(x, strides_up, extra_pad_end)
+    h = kernel if corr else np.flip(kernel, axis=tuple(range(rank)))
+    if padding == "valid":
+        padded = up
+    else:
+        pads = []
+        for d in range(rank):
+            k = kernel.shape[d]
+            before = k // 2 if corr else (k - 1) // 2
+            pads.append((before, k - 1 - before))
+        mode = "constant" if padding == "same_zeros" else "reflect"
+        padded = np.pad(up, pads, mode=mode)
+    out = np_correlate_valid(padded, h)
+    idx = tuple(slice(None, None, s) for s in strides_down)
+    return out[idx]
+
+
+class TestSignalConvAgainstSpec:
+    @pytest.mark.parametrize(
+        "corr,s_up,s_down,padding,extra_pad_end,k",
+        [
+            (corr, s_up, s_down, padding, extra, k)
+            for corr, s_up, s_down, padding, extra, k in itertools.product(
+                [True, False], [1, 2], [1, 2],
+                ["valid", "same_zeros"], [True, False], [1, 3, 4, 5])
+            if not (s_up > 1 and s_down > 1)  # rational resampling: skip
+        ],
+    )
+    def test_1d(self, corr, s_up, s_down, padding, extra_pad_end, k):
+        rng = np.random.RandomState(0)
+        n = 11
+        x = rng.randn(n).astype(np.float32)
+        kernel = rng.randn(k).astype(np.float32)
+
+        expected = np_signal_conv(
+            x, kernel, corr, (s_up,), (s_down,), padding, extra_pad_end)
+
+        got = signal_conv(
+            jnp.asarray(x)[None, :, None],
+            jnp.asarray(kernel)[:, None, None],
+            corr=corr, strides_down=s_down, strides_up=s_up,
+            padding=padding, extra_pad_end=extra_pad_end)
+        got = np.asarray(got)[0, :, 0]
+        assert got.shape == expected.shape, (got.shape, expected.shape)
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("corr,s_up,s_down,padding", [
+        (True, 1, 2, "same_zeros"),
+        (False, 2, 1, "same_zeros"),
+        (True, 1, 1, "valid"),
+        (False, 1, 2, "valid"),
+        (True, 1, 2, "same_reflect"),
+    ])
+    def test_2d(self, corr, s_up, s_down, padding):
+        rng = np.random.RandomState(1)
+        x = rng.randn(8, 9).astype(np.float32)
+        kernel = rng.randn(5, 3).astype(np.float32)
+        expected = np_signal_conv(
+            x, kernel, corr, (s_up, s_up), (s_down, s_down), padding, True)
+        got = signal_conv(
+            jnp.asarray(x)[None, :, :, None],
+            jnp.asarray(kernel)[:, :, None, None],
+            corr=corr, strides_down=s_down, strides_up=s_up,
+            padding=padding, extra_pad_end=True)
+        got = np.asarray(got)[0, :, :, 0]
+        assert got.shape == expected.shape
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+    def test_multichannel_sums_inputs(self):
+        rng = np.random.RandomState(2)
+        x = rng.randn(2, 10, 3).astype(np.float32)
+        kernel = rng.randn(3, 3, 4).astype(np.float32)
+        got = signal_conv(
+            jnp.asarray(x)[:, :, :], jnp.asarray(kernel),
+            corr=True, padding="same_zeros")
+        expected = np.zeros((2, 10, 4))
+        for b in range(2):
+            for o in range(4):
+                for i in range(3):
+                    expected[b, :, o] += np_signal_conv(
+                        x[b, :, i], kernel[:, i, o], True, (1,), (1,),
+                        "same_zeros", True)
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_channel_separable(self):
+        rng = np.random.RandomState(3)
+        x = rng.randn(1, 12, 2).astype(np.float32)
+        # Depthwise kernel: [k, 1, in*filters], filters=1.
+        kernel = rng.randn(3, 1, 2).astype(np.float32)
+        got = signal_conv(
+            jnp.asarray(x), jnp.asarray(kernel), corr=True,
+            padding="same_zeros", channel_separable=True)
+        for i in range(2):
+            expected = np_signal_conv(
+                x[0, :, i], kernel[:, 0, i], True, (1,), (1,),
+                "same_zeros", True)
+            np.testing.assert_allclose(
+                np.asarray(got)[0, :, i], expected, rtol=1e-4, atol=1e-5)
+
+
+class TestSignalConvModule:
+    def test_build_and_shapes(self):
+        conv = SignalConv2D(
+            filters=8, kernel_support=5, corr=True, strides_down=2,
+            padding="same_zeros", use_bias=True)
+        x = jnp.ones((2, 16, 16, 3))
+        params = conv.init(jax.random.PRNGKey(0), x)
+        y = conv.apply(params, x)
+        assert y.shape == (2, 8, 8, 8)
+
+    def test_upsampling_shapes(self):
+        conv = SignalConv2D(
+            filters=4, kernel_support=5, corr=False, strides_up=2,
+            padding="same_zeros", use_bias=True)
+        x = jnp.ones((1, 8, 8, 2))
+        params = conv.init(jax.random.PRNGKey(0), x)
+        y = conv.apply(params, x)
+        assert y.shape == (1, 16, 16, 4)
+
+    def test_rdft_kernel_roundtrip(self):
+        rng = np.random.RandomState(0)
+        kernel = rng.randn(5, 3, 2, 4).astype(np.float32)
+        real, imag = parameters.rdft_init(kernel)
+        back = parameters.rdft_to_kernel(real, imag, (5, 3))
+        np.testing.assert_allclose(np.asarray(back), kernel, atol=1e-5)
+
+    def test_identity_initializer(self):
+        init = identity_initializer()
+        kernel = init(None, (5, 3, 3), jnp.float32)
+        x = jnp.asarray(np.random.RandomState(1).randn(1, 10, 3), jnp.float32)
+        y = signal_conv(x, kernel, corr=True, padding="same_zeros")
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    def test_gradients_finite(self):
+        conv = SignalConv2D(
+            filters=4, kernel_support=3, corr=True, strides_down=2,
+            padding="same_zeros", use_bias=True)
+        x = jnp.ones((1, 8, 8, 2))
+        params = conv.init(jax.random.PRNGKey(0), x)
+        g = jax.grad(lambda p: jnp.sum(conv.apply(p, x) ** 2))(params)
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in flat)
+
+
+class TestGDN:
+    def test_forward_math(self):
+        gdn = GDN()
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(2, 4, 4, 3), jnp.float32)
+        params = gdn.init(jax.random.PRNGKey(0), x)
+        y = gdn.apply(params, x)
+        # At init: beta=1, gamma=0.1*I, alpha=epsilon=1:
+        # y = x / (1 + 0.1 |x|).
+        expected = np.asarray(x) / (1 + 0.1 * np.abs(np.asarray(x)))
+        np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_igdn_inverts_gdn_at_init(self):
+        x = jnp.asarray(
+            np.random.RandomState(1).rand(1, 4, 4, 2), jnp.float32)
+        gdn, igdn = GDN(), GDN(inverse=True)
+        pg = gdn.init(jax.random.PRNGKey(0), x)
+        y = gdn.apply(pg, x)
+        # One fixed-point iteration of the inverse is not exact, but near
+        # the identity region it should be close.
+        z = igdn.apply(pg, y)
+        np.testing.assert_allclose(np.asarray(z), np.asarray(x), rtol=0.05,
+                                   atol=0.02)
+
+    def test_alpha_epsilon_variants(self):
+        x = jnp.asarray(
+            np.random.RandomState(2).randn(2, 8, 3), jnp.float32)
+        gdn = GDN(alpha=2.0, epsilon=0.5)
+        params = gdn.init(jax.random.PRNGKey(0), x)
+        y = gdn.apply(params, x)
+        expected = np.asarray(x) / np.sqrt(
+            1 + 0.1 * np.asarray(x) ** 2)
+        np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_trainable_alpha_epsilon(self):
+        x = jnp.ones((1, 4, 2))
+        gdn = GDN(alpha=None, epsilon=None)
+        params = gdn.init(jax.random.PRNGKey(0), x)
+        y = gdn.apply(params, x)
+        assert np.all(np.isfinite(np.asarray(y)))
+        g = jax.grad(lambda p: jnp.sum(gdn.apply(p, x) ** 2))(params)
+        assert all(np.all(np.isfinite(np.asarray(l)))
+                   for l in jax.tree_util.tree_leaves(g))
+
+    def test_rectify(self):
+        x = jnp.asarray([[-1.0, 2.0]])
+        gdn = GDN(rectify=True)
+        params = gdn.init(jax.random.PRNGKey(0), x)
+        y = gdn.apply(params, x)
+        assert float(y[0, 0]) == 0.0
+        assert float(y[0, 1]) > 0
+
+
+class TestGDNParameter:
+    def test_value_roundtrip(self):
+        initial = jnp.asarray([0.0, 0.5, 2.0])
+        var = parameters.gdn_param_init(initial)
+        value = parameters.gdn_param_value(var)
+        np.testing.assert_allclose(np.asarray(value), np.asarray(initial),
+                                   atol=1e-6)
+
+    def test_minimum_enforced(self):
+        var = jnp.asarray([-5.0, 0.0, 1.0])
+        value = parameters.gdn_param_value(var, minimum=1e-6)
+        assert np.all(np.asarray(value) >= 1e-6 - 1e-9)
