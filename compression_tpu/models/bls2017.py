@@ -1,0 +1,218 @@
+"""Factorized-prior image codec (Ballé, Laparra, Simoncelli 2017).
+
+JAX/flax counterpart of the reference's models/bls2017.py: a 3-layer
+SignalConv2D analysis transform with GDN (downsampling 4,2,2), a mirrored
+synthesis transform with IGDN, a NoisyDeepFactorized prior over the latent
+channels, and a ContinuousBatchedEntropyModel with coding_rank=3.
+
+"End-to-end Optimized Image Compression"
+https://openreview.net/forum?id=rJxdQ3jeg
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from compression_tpu.distributions import deep_factorized, uniform_noise
+from compression_tpu.entropy_models import ContinuousBatchedEntropyModel
+from compression_tpu.layers import GDN, SignalConv2D
+from compression_tpu.util.packed_tensors import PackedTensors
+
+__all__ = [
+    "AnalysisTransform",
+    "SynthesisTransform",
+    "BLS2017Model",
+    "BLS2017Codec",
+    "make_train_step",
+]
+
+
+class AnalysisTransform(nn.Module):
+    """x/255 -> conv9x9 s4 GDN -> conv5x5 s2 GDN -> conv5x5 s2."""
+
+    num_filters: int = 128
+
+    @nn.compact
+    def __call__(self, x):
+        x = x / 255.0
+        x = SignalConv2D(
+            filters=self.num_filters, kernel_support=9, corr=True,
+            strides_down=4, padding="same_zeros", use_bias=True,
+            name="layer_0")(x)
+        x = GDN(name="gdn_0")(x)
+        x = SignalConv2D(
+            filters=self.num_filters, kernel_support=5, corr=True,
+            strides_down=2, padding="same_zeros", use_bias=True,
+            name="layer_1")(x)
+        x = GDN(name="gdn_1")(x)
+        x = SignalConv2D(
+            filters=self.num_filters, kernel_support=5, corr=True,
+            strides_down=2, padding="same_zeros", use_bias=False,
+            name="layer_2")(x)
+        return x
+
+
+class SynthesisTransform(nn.Module):
+    """Mirrored upsampling transform with IGDN; output scaled to [0,255]."""
+
+    num_filters: int = 128
+
+    @nn.compact
+    def __call__(self, y):
+        y = SignalConv2D(
+            filters=self.num_filters, kernel_support=5, corr=False,
+            strides_up=2, padding="same_zeros", use_bias=True,
+            name="layer_0")(y)
+        y = GDN(inverse=True, name="igdn_0")(y)
+        y = SignalConv2D(
+            filters=self.num_filters, kernel_support=5, corr=False,
+            strides_up=2, padding="same_zeros", use_bias=True,
+            name="layer_1")(y)
+        y = GDN(inverse=True, name="igdn_1")(y)
+        y = SignalConv2D(
+            filters=3, kernel_support=9, corr=False, strides_up=4,
+            padding="same_zeros", use_bias=True, name="layer_2")(y)
+        return y * 255.0
+
+
+class BLS2017Model(nn.Module):
+    """Rate-distortion training model."""
+
+    lmbda: float = 0.01
+    num_filters: int = 128
+
+    def setup(self):
+        self.analysis = AnalysisTransform(self.num_filters)
+        self.synthesis = SynthesisTransform(self.num_filters)
+        self.prior_params = self.param(
+            "prior",
+            lambda key: deep_factorized.DeepFactorized.init_params(
+                key, (self.num_filters,)))
+
+    def prior(self):
+        return uniform_noise.UniformNoiseAdapter(
+            deep_factorized.DeepFactorized(
+                params=self.prior_params,
+                batch_shape=(self.num_filters,)))
+
+    def __call__(self, x, training=True, key=None):
+        """Returns (loss, bpp, mse) for a uint8/float image batch NHWC."""
+        x = jnp.asarray(x, jnp.float32)
+        em = ContinuousBatchedEntropyModel(
+            prior=self.prior(), coding_rank=3, compression=False,
+            offset_heuristic=False)
+        y = self.analysis(x)
+        y_hat, bits = em(y, training=training, key=key)
+        x_hat = self.synthesis(y_hat)
+        # Crop any padding overshoot (image sizes not divisible by 16).
+        x_hat = x_hat[:, : x.shape[1], : x.shape[2], :]
+        num_pixels = np.prod(x.shape[:-1])
+        bpp = jnp.sum(bits) / num_pixels
+        mse = jnp.mean(jnp.square(x - x_hat))
+        loss = bpp + self.lmbda * mse
+        return loss, bpp, mse
+
+    def encode(self, x):
+        return self.analysis(x)
+
+    def decode(self, y_hat):
+        return self.synthesis(y_hat)
+
+
+def make_train_step(model: BLS2017Model, optimizer):
+    """Returns a jitted (params, opt_state, batch, key) -> ... train step."""
+
+    @jax.jit
+    def train_step(params, opt_state, batch, key):
+        def loss_fn(p):
+            loss, bpp, mse = model.apply(
+                p, batch, training=True, key=key)
+            return loss, (bpp, mse)
+
+        (loss, (bpp, mse)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "bpp": bpp, "mse": mse}
+
+    return train_step
+
+
+def train(lmbda=0.01, num_filters=128, batch_size=8, patchsize=256,
+          steps=1000, learning_rate=1e-4, data_iter=None, seed=0,
+          log_every=100):
+    """Trains a BLS2017 model; returns (model, params).
+
+    data_iter yields uint8/float NHWC batches; if None, random noise
+    patches are used (smoke training only).
+    """
+    model = BLS2017Model(lmbda=lmbda, num_filters=num_filters)
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+    dummy = jnp.zeros((1, patchsize, patchsize, 3))
+    params = model.init(init_key, dummy, training=False)
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+    step_fn = make_train_step(model, optimizer)
+
+    def default_iter():
+        rng = np.random.RandomState(seed)
+        while True:
+            yield rng.randint(
+                0, 256, (batch_size, patchsize, patchsize, 3)).astype(
+                    np.float32)
+
+    it = data_iter if data_iter is not None else default_iter()
+    for step, batch in zip(range(steps), it):
+        key, step_key = jax.random.split(key)
+        params, opt_state, metrics = step_fn(
+            params, opt_state, jnp.asarray(batch), step_key)
+        if log_every and step % log_every == 0:
+            print({k: float(v) for k, v in metrics.items()}, flush=True)
+    return model, params
+
+
+class BLS2017Codec:
+    """Inference codec with frozen range-coding tables."""
+
+    MODEL_ID = "bls2017"
+
+    def __init__(self, model: BLS2017Model, params):
+        self.model = model
+        self.params = params
+        prior = model.bind(params).prior()
+        self.em = ContinuousBatchedEntropyModel(
+            prior=prior, coding_rank=3, compression=True)
+        self._analysis = jax.jit(
+            lambda p, x: model.apply(p, x, method=BLS2017Model.encode))
+        self._synthesis = jax.jit(
+            lambda p, y: model.apply(p, y, method=BLS2017Model.decode))
+
+    def compress(self, x) -> bytes:
+        """uint8 [H, W, 3] image -> .tfci container bytes."""
+        x = jnp.asarray(x, jnp.float32)[None]
+        y = self._analysis(self.params, x)
+        x_shape = np.asarray(x.shape[1:-1], np.int32)
+        y_shape = np.asarray(y.shape[1:-1], np.int32)
+        strings = self.em.compress_to_strings(y)
+        packed = PackedTensors()
+        packed.model = self.MODEL_ID
+        packed.pack([strings, x_shape, y_shape])
+        return packed.string
+
+    def decompress(self, container: bytes) -> np.ndarray:
+        packed = PackedTensors(container)
+        assert packed.model == self.MODEL_ID
+        strings, x_shape, y_shape = packed.unpack(
+            ["bytes", np.int32, np.int32])
+        y_hat = self.em.decompress(strings, tuple(y_shape))
+        x_hat = self._synthesis(self.params, y_hat)
+        x_hat = np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
+        return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
