@@ -1,0 +1,260 @@
+"""Scale-hyperprior image codec (Ballé et al. 2018).
+
+JAX/flax counterpart of the reference's models/bmshj2018.py: four-layer
+analysis/synthesis transforms (stride 2 each), a hyper-analysis/synthesis
+pair producing per-element scale indexes, a NoisyDeepFactorized hyperprior
+over z (batched EM), and a LocationScaleIndexedEntropyModel over y with a
+log-spaced 64-entry scale table.
+
+"Variational image compression with a scale hyperprior"
+https://openreview.net/forum?id=rkcQFMZRb
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from compression_tpu.distributions import deep_factorized, uniform_noise
+from compression_tpu.entropy_models import ContinuousBatchedEntropyModel
+from compression_tpu.entropy_models.continuous_indexed import (
+    LocationScaleIndexedEntropyModel,
+)
+from compression_tpu.layers import GDN, SignalConv2D
+from compression_tpu.util.packed_tensors import PackedTensors
+
+__all__ = [
+    "AnalysisTransform",
+    "SynthesisTransform",
+    "HyperAnalysisTransform",
+    "HyperSynthesisTransform",
+    "BMSHJ2018Model",
+    "BMSHJ2018Codec",
+    "make_scale_fn",
+]
+
+
+def make_scale_fn(scale_min, scale_max, num_scales):
+    offset = math.log(scale_min)
+    factor = (math.log(scale_max) - math.log(scale_min)) / (num_scales - 1.0)
+    return lambda i: jnp.exp(offset + factor * i)
+
+
+class AnalysisTransform(nn.Module):
+    num_filters: int = 128
+
+    @nn.compact
+    def __call__(self, x):
+        x = x / 255.0
+        for i in range(3):
+            x = SignalConv2D(
+                filters=self.num_filters, kernel_support=5, corr=True,
+                strides_down=2, padding="same_zeros", use_bias=True,
+                name=f"layer_{i}")(x)
+            x = GDN(name=f"gdn_{i}")(x)
+        x = SignalConv2D(
+            filters=self.num_filters, kernel_support=5, corr=True,
+            strides_down=2, padding="same_zeros", use_bias=True,
+            name="layer_3")(x)
+        return x
+
+
+class SynthesisTransform(nn.Module):
+    num_filters: int = 128
+
+    @nn.compact
+    def __call__(self, y):
+        for i in range(3):
+            y = SignalConv2D(
+                filters=self.num_filters, kernel_support=5, corr=False,
+                strides_up=2, padding="same_zeros", use_bias=True,
+                name=f"layer_{i}")(y)
+            y = GDN(inverse=True, name=f"igdn_{i}")(y)
+        y = SignalConv2D(
+            filters=3, kernel_support=5, corr=False, strides_up=2,
+            padding="same_zeros", use_bias=True, name="layer_3")(y)
+        return y * 255.0
+
+
+class HyperAnalysisTransform(nn.Module):
+    num_filters: int = 128
+
+    @nn.compact
+    def __call__(self, y):
+        y = SignalConv2D(
+            filters=self.num_filters, kernel_support=3, corr=True,
+            strides_down=1, padding="same_zeros", use_bias=True,
+            name="layer_0")(y)
+        y = jax.nn.relu(y)
+        y = SignalConv2D(
+            filters=self.num_filters, kernel_support=5, corr=True,
+            strides_down=2, padding="same_zeros", use_bias=True,
+            name="layer_1")(y)
+        y = jax.nn.relu(y)
+        y = SignalConv2D(
+            filters=self.num_filters, kernel_support=5, corr=True,
+            strides_down=2, padding="same_zeros", use_bias=False,
+            name="layer_2")(y)
+        return y
+
+
+class HyperSynthesisTransform(nn.Module):
+    num_filters: int = 128
+
+    @nn.compact
+    def __call__(self, z):
+        z = SignalConv2D(
+            filters=self.num_filters, kernel_support=5, corr=False,
+            strides_up=2, padding="same_zeros", use_bias=True,
+            kernel_parameter="variable", name="layer_0")(z)
+        z = jax.nn.relu(z)
+        z = SignalConv2D(
+            filters=self.num_filters, kernel_support=5, corr=False,
+            strides_up=2, padding="same_zeros", use_bias=True,
+            kernel_parameter="variable", name="layer_1")(z)
+        z = jax.nn.relu(z)
+        z = SignalConv2D(
+            filters=self.num_filters, kernel_support=3, corr=False,
+            strides_up=1, padding="same_zeros", use_bias=True,
+            kernel_parameter="variable", name="layer_2")(z)
+        return z
+
+
+class BMSHJ2018Model(nn.Module):
+    lmbda: float = 0.01
+    num_filters: int = 128
+    num_scales: int = 64
+    scale_min: float = 0.11
+    scale_max: float = 256.0
+
+    def setup(self):
+        self.analysis = AnalysisTransform(self.num_filters)
+        self.synthesis = SynthesisTransform(self.num_filters)
+        self.hyper_analysis = HyperAnalysisTransform(self.num_filters)
+        self.hyper_synthesis = HyperSynthesisTransform(self.num_filters)
+        self.hyperprior_params = self.param(
+            "hyperprior",
+            lambda key: deep_factorized.DeepFactorized.init_params(
+                key, (self.num_filters,)))
+
+    def scale_fn(self):
+        return make_scale_fn(self.scale_min, self.scale_max, self.num_scales)
+
+    def hyperprior(self):
+        return uniform_noise.UniformNoiseAdapter(
+            deep_factorized.DeepFactorized(
+                params=self.hyperprior_params,
+                batch_shape=(self.num_filters,)))
+
+    def __call__(self, x, training=True, key=None):
+        x = jnp.asarray(x, jnp.float32)
+        em = LocationScaleIndexedEntropyModel(
+            uniform_noise.NoisyNormal, self.num_scales, self.scale_fn(),
+            coding_rank=3, compression=False)
+        side_em = ContinuousBatchedEntropyModel(
+            self.hyperprior(), coding_rank=3, compression=False,
+            offset_heuristic=False)
+
+        k1 = k2 = None
+        if key is not None:
+            k1, k2 = jax.random.split(key)
+        y = self.analysis(x)
+        z = self.hyper_analysis(jnp.abs(y))
+        z_hat, side_bits = side_em(z, training=training, key=k1)
+        indexes = self.hyper_synthesis(z_hat)
+        y_hat, bits = em(y, indexes, training=training, key=k2)
+        x_hat = self.synthesis(y_hat)
+        x_hat = x_hat[:, : x.shape[1], : x.shape[2], :]
+
+        num_pixels = np.prod(x.shape[:-1])
+        bpp = (jnp.sum(bits) + jnp.sum(side_bits)) / num_pixels
+        mse = jnp.mean(jnp.square(x - x_hat))
+        loss = bpp + self.lmbda * mse
+        return loss, bpp, mse
+
+    # Inference sub-graphs (used via apply(..., method=...)).
+    def encode(self, x):
+        y = self.analysis(x)
+        z = self.hyper_analysis(jnp.abs(y))
+        return y, z
+
+    def hyper_decode(self, z_hat):
+        return self.hyper_synthesis(z_hat)
+
+    def decode(self, y_hat):
+        return self.synthesis(y_hat)
+
+
+def make_train_step(model: BMSHJ2018Model, optimizer):
+    @jax.jit
+    def train_step(params, opt_state, batch, key):
+        def loss_fn(p):
+            loss, bpp, mse = model.apply(p, batch, training=True, key=key)
+            return loss, (bpp, mse)
+
+        (loss, (bpp, mse)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "bpp": bpp, "mse": mse}
+
+    return train_step
+
+
+class BMSHJ2018Codec:
+    """Inference codec with frozen tables for both entropy models."""
+
+    MODEL_ID = "bmshj2018"
+
+    def __init__(self, model: BMSHJ2018Model, params):
+        self.model = model
+        self.params = params
+        bound = model.bind(params)
+        self.em = LocationScaleIndexedEntropyModel(
+            uniform_noise.NoisyNormal, model.num_scales,
+            make_scale_fn(model.scale_min, model.scale_max,
+                          model.num_scales),
+            coding_rank=3, compression=True)
+        self.side_em = ContinuousBatchedEntropyModel(
+            bound.hyperprior(), coding_rank=3, compression=True)
+        self._encode = jax.jit(
+            lambda p, x: model.apply(p, x, method=BMSHJ2018Model.encode))
+        self._hyper_decode = jax.jit(
+            lambda p, z: model.apply(
+                p, z, method=BMSHJ2018Model.hyper_decode))
+        self._decode = jax.jit(
+            lambda p, y: model.apply(p, y, method=BMSHJ2018Model.decode))
+
+    def compress(self, x) -> bytes:
+        x = jnp.asarray(x, jnp.float32)[None]
+        y, z = self._encode(self.params, x)
+        x_shape = np.asarray(x.shape[1:-1], np.int32)
+        y_shape = np.asarray(y.shape[1:-1], np.int32)
+        z_shape = np.asarray(z.shape[1:-1], np.int32)
+        z_hat = self.side_em.quantize(z)
+        indexes = self._hyper_decode(self.params, z_hat)
+        indexes = indexes[:, : y.shape[1], : y.shape[2], :]
+        side_strings = self.side_em.compress_to_strings(z)
+        strings = self.em.compress_to_strings(y, indexes)
+        packed = PackedTensors()
+        packed.model = self.MODEL_ID
+        packed.pack([strings, side_strings, x_shape, y_shape, z_shape])
+        return packed.string
+
+    def decompress(self, container: bytes) -> np.ndarray:
+        packed = PackedTensors(container)
+        assert packed.model == self.MODEL_ID
+        strings, side_strings, x_shape, y_shape, z_shape = packed.unpack(
+            ["bytes", "bytes", np.int32, np.int32, np.int32])
+        z_hat = self.side_em.decompress(side_strings, tuple(z_shape))
+        indexes = self._hyper_decode(self.params, z_hat)
+        indexes = indexes[:, : y_shape[0], : y_shape[1], :]
+        y_hat = self.em.decompress(strings, indexes)
+        x_hat = self._decode(self.params, y_hat)
+        x_hat = np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
+        return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
