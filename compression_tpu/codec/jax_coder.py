@@ -144,13 +144,20 @@ def _encode_step(carry, op):
         keep(new_pend_start, pend_start),
         keep(new_group, group),
     )
-    out = (w_pos, tag, w_val, w_group, res_event, group, res_dir)
+    out = (tag, jnp.where(tag > 0, w_val, 0), res_event, res_dir)
     return carry, out
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
 def encode_core(lower, upper, prec, mask, out_size):
     """Runs the encoder over micro-ops.
+
+    TPU-friendly output materialization: no large scatters.  The
+    delayed-carry resolution direction for each pending chunk is "the first
+    resolution event strictly after its step", computed with a reverse
+    associative scan; the emitted 16-bit chunks are then compacted to the
+    front of each stream with one key-sort along the step axis and
+    interleaved into bytes with pure reshapes.
 
     Args:
       lower, upper, prec: uint32 [T, S] micro-op streams.
@@ -171,18 +178,27 @@ def encode_core(lower, upper, prec, mask, out_size):
     )
     (base, sm1, delay, ptr, pend_start, _), ys = jax.lax.scan(
         _encode_step, init, (lower, upper, prec, mask))
-    w_pos, tag, w_val, w_group, res_event, res_group, res_dir = ys
+    tag, w_val, res_event, res_dir = ys
 
-    # Resolve carry groups: group g's direction is set by its resolution
-    # event; unresolved groups (still open at finalize) default to "up".
-    res_dir_by_group = jnp.ones((num_streams, num_steps + 2), bool)
-    s_ids = jnp.broadcast_to(
-        jnp.arange(num_streams)[None, :], res_group.shape)
-    res_dir_by_group = res_dir_by_group.at[
-        s_ids, jnp.where(res_event, res_group, num_steps + 1)
-    ].set(jnp.where(res_event, res_dir, True))
+    # Resolution direction for each pending chunk = direction of the first
+    # resolution event strictly after its step (unresolved -> "up"/True).
+    # Reverse associative scan over (has_event, direction), shifted by one.
+    pad_h = jnp.zeros((1, num_streams), bool)
+    pad_d = jnp.ones((1, num_streams), bool)
+    has_next = jnp.concatenate([res_event[1:], pad_h], axis=0)
+    dir_next = jnp.concatenate([res_dir[1:], pad_d], axis=0)
 
-    up = res_dir_by_group[s_ids, w_group]  # [T, S]
+    def first_event(suffix, elem):
+        # reverse=True scans as r[t] = fn(r[t+1], e[t]): `elem` is the
+        # entry nearest to t, so it wins when it has an event.
+        sh, sd = suffix
+        eh, ed = elem
+        return sh | eh, jnp.where(eh, ed, sd)
+
+    found, up = jax.lax.associative_scan(
+        first_event, (has_next, dir_next), reverse=True, axis=0)
+    up = jnp.where(found, up, True)
+
     value16 = jnp.where(
         tag == 1,
         w_val,
@@ -192,13 +208,22 @@ def encode_core(lower, upper, prec, mask, out_size):
             jnp.where(up, jnp.uint32(0), jnp.uint32(0xFFFF)),
         ),
     )
+    value16 = jnp.where(tag > 0, value16, 0)
 
-    buf = jnp.zeros((num_streams, out_size), jnp.uint8)
-    pos = jnp.where(tag > 0, w_pos, out_size)  # park masked writes OOB
-    buf = buf.at[s_ids, pos].set(
-        (value16 >> 8).astype(jnp.uint8), mode="drop")
-    buf = buf.at[s_ids, pos + 1].set(
-        (value16 & 0xFF).astype(jnp.uint8), mode="drop")
+    # Compact chunks to the front of each stream: single key-sort along T.
+    iota = jax.lax.broadcasted_iota(jnp.int32, (num_steps, num_streams), 0)
+    key = jnp.where(tag > 0, iota, jnp.int32(0x7FFFFFFF))
+    _, chunks = jax.lax.sort(
+        (key, value16), dimension=0, num_keys=1)
+    chunks = chunks.T  # [S, T], valid prefix per stream
+
+    # Interleave hi/lo bytes: [S, T] u16-in-u32 -> [S, 2T] u8.
+    hi = (chunks >> 8).astype(jnp.uint8)
+    lo = (chunks & 0xFF).astype(jnp.uint8)
+    byte_pairs = jnp.stack([hi, lo], axis=-1).reshape(
+        num_streams, 2 * num_steps)
+    pad_cols = out_size - 2 * num_steps
+    buf = jnp.pad(byte_pairs, ((0, 0), (0, pad_cols)))
 
     # Finalization (RangeEncoder::Finalize).
     in_delay = delay != 0
@@ -215,14 +240,18 @@ def encode_core(lower, upper, prec, mask, out_size):
     sid = jnp.arange(num_streams)
     pos0 = jnp.where(~in_delay & (f_count >= 1), ptr, out_size)
     pos1 = jnp.where(~in_delay & (f_count == 2), ptr + 1, out_size)
-    buf = buf.at[sid, pos0].set(f_b0, mode="drop")
-    buf = buf.at[sid, pos1].set(f_b1, mode="drop")
+    buf = buf.at[sid, pos0].set(f_b0, mode="drop", unique_indices=True)
+    buf = buf.at[sid, pos1].set(f_b1, mode="drop", unique_indices=True)
 
     lengths = jnp.where(
         in_delay,
         pend_start + jnp.where((delay & 0xFF) != 0, 2, 1),
         ptr + f_count,
     ).astype(jnp.int32)
+    # Zero any bytes past each stream's length (trailing-zero truncation of
+    # an unresolved carry group must not leave stale chunk bytes).
+    col = jax.lax.broadcasted_iota(jnp.int32, buf.shape, 1)
+    buf = jnp.where(col < lengths[:, None], buf, 0)
     return buf, lengths
 
 
@@ -272,6 +301,21 @@ def micro_ops_from_symbols(symbols, indexes, table: DeviceCdfTable,
     base_idx = rows * table.max_len
     c_lo = flat_cdf[base_idx + vq]
     c_hi = flat_cdf[base_idx + vq + 1]
+
+    if slots_per_symbol == 1:
+        # Fast path: no escapes anywhere -> one op per symbol, identity
+        # compaction (no scatter).
+        pad = num_steps - n
+        def pad_t(x, fill):
+            x = x.astype(jnp.uint32) if x.dtype != jnp.bool_ else x
+            return jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill)
+        lower_c = pad_t(c_lo, 0)
+        upper_c = pad_t(c_hi, 1)
+        prec_c = pad_t(prec_r, 1)
+        mask_c = jnp.pad(
+            jnp.ones((num_streams, n), bool), ((0, 0), (0, pad)),
+            constant_values=False)
+        return lower_c.T, upper_c.T, prec_c.T, mask_c.T
 
     count = jnp.where(escape, 3 + 2 * nbits.astype(jnp.int32), 1)
 
@@ -367,32 +411,63 @@ def _refine_decoder(state, src, src_len, a, b, mask):
             keep(new_pos, pos))
 
 
-def _decode_symbol(state, src, src_len, cdf_rows, length, prec, mask):
-    """Decodes one symbol per active lane. cdf_rows: [S, Lmax] uint32."""
-    base, sm1, value, pos = state
-    vb = value - base
-    vb1 = vb + 1
+def _symbol_threshold(state, prec):
+    """Exact smallest t with size * t >= lower_bound, via f32 + fixup.
+
+    The decode condition ``lower_bound <= size * cdf[k]`` is equivalent to
+    ``cdf[k] >= t`` with t = ceil(lower_bound / size); computing t once per
+    lane turns the per-symbol CDF search into a single 16-bit compare per
+    alphabet entry instead of a 48-bit multiply (range_coder.h:224-271).
+    """
+    base, sm1, value, _ = state
+    vb1 = (value - base) + 1  # may wrap to 0 == 2**32
     wrapped = vb1 == 0
     lb_hi = jnp.where(wrapped, jnp.uint32(1) << prec, vb1 >> (32 - prec))
     lb_lo = vb1 << prec
 
-    rhs_hi, rhs_lo = _mul_size(sm1[:, None], cdf_rows)
-    ge = (rhs_hi > lb_hi[:, None]) | (
-        (rhs_hi == lb_hi[:, None]) & (rhs_lo >= lb_lo[:, None]))
-    max_len = cdf_rows.shape[1]
-    k = jnp.arange(max_len, dtype=jnp.int32)[None, :]
-    valid = (k >= 1) & (k < length[:, None])
-    cand = jnp.where(ge & valid, k, max_len)
-    pv = jnp.min(cand, axis=1)
-    pv = jnp.minimum(pv, jnp.maximum(length - 1, 1))  # decode-error clamp
+    lb_f = lb_hi.astype(jnp.float32) * jnp.float32(2.0**32) \
+        + lb_lo.astype(jnp.float32)
+    size_f = sm1.astype(jnp.float32) + 1.0
+    t0 = jnp.floor(lb_f / size_f).astype(jnp.uint32)
+    # The f32 quotient has absolute error < 1 (q <= 2**16, rel err ~4e-7),
+    # so the exact t lies in {t0-1, .., t0+2}.  Verify with exact split-u32
+    # comparisons of size * c >= lb.
+    def ok(c):
+        hi, lo = _mul_size(sm1, c)
+        return (hi > lb_hi) | ((hi == lb_hi) & (lo >= lb_lo))
 
-    sid = jnp.arange(base.shape[0])
-    c_lo = cdf_rows[sid, pv - 1]
-    c_hi = cdf_rows[sid, pv]
+    tm1 = jnp.maximum(t0, 1) - 1
+    t = jnp.where(
+        ok(tm1), tm1,
+        jnp.where(ok(t0), t0, jnp.where(ok(t0 + 1), t0 + 1, t0 + 2)))
+    return jnp.maximum(t, 1)
+
+
+def _decode_symbol(state, src, src_len, cdf_rows_f, prec, mask):
+    """Decodes one symbol per active lane. cdf_rows_f: [S, Lmax] float32.
+
+    CDF values are exact in f32 (<= 2**16).  Rows must be padded on the
+    right with the terminal value (2**precision), which never compares
+    below the threshold, so no explicit length masking is needed.
+    """
+    base, sm1, value, pos = state
+    t = _symbol_threshold(state, prec)
+
+    # pv = 1 + #{k >= 1 : cdf[k] < t}.
+    t_f = t.astype(jnp.float32)
+    counts = jnp.sum(
+        (cdf_rows_f[:, 1:] < t_f[:, None]).astype(jnp.float32), axis=1)
+    pv = 1 + counts.astype(jnp.int32)
+    pv = jnp.minimum(pv, cdf_rows_f.shape[1] - 1)
+
+    c_lo = jnp.take_along_axis(
+        cdf_rows_f, (pv - 1)[:, None], axis=1)[:, 0].astype(jnp.uint32)
+    c_hi = jnp.take_along_axis(
+        cdf_rows_f, pv[:, None], axis=1)[:, 0].astype(jnp.uint32)
     a = _mul_shift(sm1, c_lo, prec)
     b = _mul_shift(sm1, c_hi, prec) - 1
     state = _refine_decoder(state, src, src_len, a, b, mask)
-    return state, pv - 1
+    return state, pv.astype(jnp.uint32) - 1
 
 
 def _decode_binary(state, src, src_len, mask):
@@ -485,17 +560,32 @@ def decode_core(src, src_len, indexes, num_elements, cdf, length, precision,
         pos0,
     )
     all_mask = jnp.ones(num_streams, bool)
+    cdf_f = cdf.astype(jnp.float32)
+    num_rows = cdf.shape[0]
 
     def step(state, row):
-        cdf_rows = cdf[row]
-        len_r = length[row]
-        prec_r = precision[row]
+        if num_rows == 1:
+            # Single shared row: no gather at all.
+            cdf_rows_f = jnp.broadcast_to(
+                cdf_f[0][None, :], (num_streams, cdf.shape[1]))
+            len_r = jnp.broadcast_to(length[0], (num_streams,))
+            prec_r = jnp.broadcast_to(precision[0], (num_streams,))
+            ovf_r = jnp.broadcast_to(overflow[0], (num_streams,))
+        else:
+            # Row select as a one-hot matmul: runs on the MXU instead of a
+            # serialized gather (values <= 2**16 are exact in f32).
+            onehot = jax.nn.one_hot(row, num_rows, dtype=jnp.float32)
+            cdf_rows_f = jnp.dot(
+                onehot, cdf_f, preferred_element_type=jnp.float32)
+            len_r = length[row]
+            prec_r = precision[row]
+            ovf_r = overflow[row]
         state, sym = _decode_symbol(
-            state, src, src_len, cdf_rows, len_r, prec_r, all_mask)
+            state, src, src_len, cdf_rows_f, prec_r, all_mask)
         sym = sym.astype(jnp.int32)
         if any_overflow:
             mv = len_r - 2
-            esc = overflow[row] & (sym == mv)
+            esc = ovf_r & (sym == mv)
             state, gval, gsign = _gamma_decode(state, src, src_len, esc)
             gv = gval.astype(jnp.int32)
             decoded = jnp.where(
