@@ -216,3 +216,19 @@ class BLS2017Codec:
         x_hat = self._synthesis(self.params, y_hat)
         x_hat = np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
         return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
+
+
+def main(argv=None):
+    from compression_tpu.models import cli
+
+    def build_model(config):
+        return BLS2017Model(
+            lmbda=config.get("lmbda", 0.01),
+            num_filters=config.get("num_filters", 128))
+
+    cli.run("bls2017", dict(lmbda=0.01, num_filters=128),
+            build_model, BLS2017Codec, argv)
+
+
+if __name__ == "__main__":
+    main()

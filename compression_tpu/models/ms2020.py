@@ -376,3 +376,19 @@ class MS2020Codec:
         x_hat = self._decode(self.params, y_hat)
         x_hat = np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
         return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
+
+
+def main(argv=None):
+    from compression_tpu.models import cli
+
+    def build_model(config):
+        return MS2020Model(
+            lmbda=config.get("lmbda", 0.01),
+            num_filters=config.get("num_filters", 192))
+
+    cli.run("ms2020", dict(lmbda=0.01, num_filters=192),
+            build_model, MS2020Codec, argv)
+
+
+if __name__ == "__main__":
+    main()
