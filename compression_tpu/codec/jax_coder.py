@@ -168,17 +168,25 @@ def encode_core(lower, upper, prec, mask, out_size):
       (bytes [S, out_size] uint8, lengths [S] int32).
     """
     num_steps, num_streams = lower.shape
-    init = (
-        jnp.zeros(num_streams, jnp.uint32),  # base
-        jnp.full(num_streams, _MASK32, jnp.uint32),  # size_minus1
-        jnp.zeros(num_streams, jnp.uint32),  # delay (16-bit value or 0)
-        jnp.zeros(num_streams, jnp.int32),  # ptr
-        jnp.zeros(num_streams, jnp.int32),  # pend_start
-        jnp.zeros(num_streams, jnp.int32),  # open group count
-    )
-    (base, sm1, delay, ptr, pend_start, _), ys = jax.lax.scan(
-        _encode_step, init, (lower, upper, prec, mask))
-    tag, w_val, res_event, res_dir = ys
+    use_pallas = (
+        jax.default_backend() not in ("cpu",) and num_streams % 256 == 0)
+    if use_pallas:
+        from compression_tpu.codec import pallas_coder
+        tag, w_val, res_event, res_dir, state = (
+            pallas_coder.encode_scan_pallas(lower, upper, prec, mask))
+        base, sm1, delay, ptr, pend_start = state
+    else:
+        init = (
+            jnp.zeros(num_streams, jnp.uint32),  # base
+            jnp.full(num_streams, _MASK32, jnp.uint32),  # size_minus1
+            jnp.zeros(num_streams, jnp.uint32),  # delay (16-bit value or 0)
+            jnp.zeros(num_streams, jnp.int32),  # ptr
+            jnp.zeros(num_streams, jnp.int32),  # pend_start
+            jnp.zeros(num_streams, jnp.int32),  # open group count
+        )
+        (base, sm1, delay, ptr, pend_start, _), ys = jax.lax.scan(
+            _encode_step, init, (lower, upper, prec, mask))
+        tag, w_val, res_event, res_dir = ys
 
     # Resolution direction for each pending chunk = direction of the first
     # resolution event strictly after its step (unresolved -> "up"/True).
@@ -262,6 +270,41 @@ def _floor_log2(x):
         x[..., None] >= (jnp.uint32(1) << k), axis=-1).astype(jnp.uint32)
 
 
+def _cdf_pair_lookup(table: "DeviceCdfTable", rows, vq):
+    """(cdf[row, vq], cdf[row, vq+1]) for every element, without gathers.
+
+    TPU has no per-lane vector gather, so dynamic indexing lowers to a
+    serialized loop; instead the lookup is a blocked one-hot matmul on the
+    MXU (CDF values <= 2**16 are exact in f32).  Falls back to a plain
+    gather for very large tables where the one-hot would not pay off.
+    """
+    shape = rows.shape
+    k_size = table.num_rows * table.max_len
+    flat_cdf = table.cdf.reshape(-1)
+    flat_idx = (rows * table.max_len + vq).reshape(-1)
+    if k_size > 4096:
+        return (flat_cdf[flat_idx].reshape(shape),
+                flat_cdf[flat_idx + 1].reshape(shape))
+
+    flat_f = flat_cdf.astype(jnp.float32)
+    nxt = jnp.concatenate([flat_f[1:], flat_f[-1:]])
+    pair = jnp.stack([flat_f, nxt], axis=1)  # [K, 2]
+
+    block = 8192
+    m = flat_idx.shape[0]
+    pad = (-m) % block
+    idx_p = jnp.pad(flat_idx, (0, pad)).reshape(-1, block)
+
+    def chunk(ic):
+        onehot = jax.nn.one_hot(ic, k_size, dtype=jnp.float32)
+        return jnp.dot(onehot, pair, preferred_element_type=jnp.float32)
+
+    out = jax.lax.map(chunk, idx_p).reshape(-1, 2)[:m]
+    c_lo = out[:, 0].astype(jnp.uint32).reshape(shape)
+    c_hi = out[:, 1].astype(jnp.uint32).reshape(shape)
+    return c_lo, c_hi
+
+
 def micro_ops_from_symbols(symbols, indexes, table: DeviceCdfTable,
                            slots_per_symbol: int, num_steps: int):
     """Expands symbols into compacted (lower, upper, prec, mask) micro-ops.
@@ -297,10 +340,7 @@ def micro_ops_from_symbols(symbols, indexes, table: DeviceCdfTable,
         sign, -v, jnp.where(over, v - mv + 1, 1)).astype(jnp.uint32)
     nbits = _floor_log2(jnp.maximum(gamma, 1))  # n_top
 
-    flat_cdf = table.cdf.reshape(-1)
-    base_idx = rows * table.max_len
-    c_lo = flat_cdf[base_idx + vq]
-    c_hi = flat_cdf[base_idx + vq + 1]
+    c_lo, c_hi = _cdf_pair_lookup(table, rows, vq)
 
     if slots_per_symbol == 1:
         # Fast path: no escapes anywhere -> one op per symbol, identity
@@ -367,48 +407,40 @@ def micro_ops_from_symbols(symbols, indexes, table: DeviceCdfTable,
 # -----------------------------------------------------------------------------
 # Decoder
 # -----------------------------------------------------------------------------
-def _read16(src, src_len, value, pos):
-    """Two Read16BitValue byte pulls with zero padding past the end."""
-    num_streams = value.shape[0]
-    sid = jnp.arange(num_streams)
-    for _ in range(2):
-        avail = pos < src_len
-        byte = jnp.where(
-            avail, src[sid, jnp.minimum(pos, src.shape[1] - 1)], 0
-        ).astype(jnp.uint32)
-        value = ((value << 8) | byte)
-        pos = pos + avail.astype(jnp.int32)
-    return value, pos
+# The decoder state is (base, sm1, value, chunks_read); the source is fed as
+# 16-bit chunks [S, C] and each renormalization consumes exactly one chunk,
+# fetched with a one-hot dot over the chunk axis (TPU has no per-lane
+# gather; the scan is pure VPU work and beats a serialized gather).
 
 
-def _refine_decoder(state, src, src_len, a, b, mask):
-    """Applies the (a, b) interval refinement + conditional renormalization."""
-    base, sm1, value, pos = state
+def _fetch_chunk(src16, chunks_read):
+    """chunk[s] = src16[s, chunks_read[s]] via a one-hot sum (no gather)."""
+    c = src16.shape[1]
+    k = jax.lax.broadcasted_iota(jnp.int32, src16.shape, 1)
+    sel = k == chunks_read[:, None]
+    return jnp.sum(jnp.where(sel, src16, 0), axis=1)
+
+
+def _refine_decoder(state, src16, a, b, mask):
+    """Applies the (a, b) interval refinement + conditional renormalization.
+
+    Matches Read16BitValue semantics (range_coder.h:273-282): bytes past the
+    stream end read as zero, which the zero-padded chunk buffer reproduces.
+    """
+    base, sm1, value, chunks_read = state
     nb = base + a
     ns = b - a
     renorm = ((ns >> 16) == 0) & mask
     nb2 = jnp.where(renorm, nb << 16, nb)
     ns2 = jnp.where(renorm, (ns << 16) | _U16, ns)
 
-    # Read16BitValue: two byte pulls, zero-padded past the end; the read
-    # pointer only advances for in-range bytes (range_coder.h:273-282).
-    sid = jnp.arange(value.shape[0])
-    p0 = pos
-    avail0 = renorm & (p0 < src_len)
-    b0 = jnp.where(avail0, src[sid, jnp.minimum(p0, src.shape[1] - 1)], 0)
-    p1 = p0 + avail0.astype(jnp.int32)
-    avail1 = renorm & (p1 < src_len)
-    b1 = jnp.where(avail1, src[sid, jnp.minimum(p1, src.shape[1] - 1)], 0)
-    p2 = p1 + avail1.astype(jnp.int32)
-    new_value = jnp.where(
-        renorm,
-        (value << 16) | (b0.astype(jnp.uint32) << 8) | b1.astype(jnp.uint32),
-        value)
-    new_pos = jnp.where(renorm, p2, pos)
+    chunk = _fetch_chunk(src16, chunks_read)
+    new_value = jnp.where(renorm, (value << 16) | chunk, value)
+    new_chunks = chunks_read + renorm.astype(jnp.int32)
 
     keep = lambda new, old: jnp.where(mask, new, old)
     return (keep(nb2, base), keep(ns2, sm1), keep(new_value, value),
-            keep(new_pos, pos))
+            keep(new_chunks, chunks_read))
 
 
 def _symbol_threshold(state, prec):
@@ -443,36 +475,41 @@ def _symbol_threshold(state, prec):
     return jnp.maximum(t, 1)
 
 
-def _decode_symbol(state, src, src_len, cdf_rows_f, prec, mask):
+def _decode_symbol(state, src16, cdf_rows_f, prec, mask):
     """Decodes one symbol per active lane. cdf_rows_f: [S, Lmax] float32.
 
     CDF values are exact in f32 (<= 2**16).  Rows must be padded on the
     right with the terminal value (2**precision), which never compares
     below the threshold, so no explicit length masking is needed.
+    Entry lookups use masked min/max reductions over the (monotone) row —
+    no gathers anywhere in the hot loop.
     """
-    base, sm1, value, pos = state
+    base, sm1, value, chunks_read = state
     t = _symbol_threshold(state, prec)
 
-    # pv = 1 + #{k >= 1 : cdf[k] < t}.
     t_f = t.astype(jnp.float32)
-    counts = jnp.sum(
-        (cdf_rows_f[:, 1:] < t_f[:, None]).astype(jnp.float32), axis=1)
+    body = cdf_rows_f[:, 1:]
+    below = body < t_f[:, None]
+    # pv = 1 + #{k >= 1 : cdf[k] < t}.
+    counts = jnp.sum(below.astype(jnp.float32), axis=1)
     pv = 1 + counts.astype(jnp.int32)
     pv = jnp.minimum(pv, cdf_rows_f.shape[1] - 1)
+    # Monotone row: cdf[pv-1] = max of entries < t (or cdf[0] == 0),
+    # cdf[pv] = min of entries >= t.
+    c_lo = jnp.max(jnp.where(below, body, 0.0), axis=1).astype(jnp.uint32)
+    c_hi = jnp.minimum(
+        jnp.min(jnp.where(below, jnp.float32(2**17), body), axis=1),
+        jnp.float32(2**16)).astype(jnp.uint32)
 
-    c_lo = jnp.take_along_axis(
-        cdf_rows_f, (pv - 1)[:, None], axis=1)[:, 0].astype(jnp.uint32)
-    c_hi = jnp.take_along_axis(
-        cdf_rows_f, pv[:, None], axis=1)[:, 0].astype(jnp.uint32)
     a = _mul_shift(sm1, c_lo, prec)
     b = _mul_shift(sm1, c_hi, prec) - 1
-    state = _refine_decoder(state, src, src_len, a, b, mask)
+    state = _refine_decoder(state, src16, a, b, mask)
     return state, pv.astype(jnp.uint32) - 1
 
 
-def _decode_binary(state, src, src_len, mask):
+def _decode_binary(state, src16, mask):
     """Decodes one bit with the binary uniform CDF {0,1,2} at precision 1."""
-    base, sm1, value, pos = state
+    base, sm1, value, chunks_read = state
     vb1 = (value - base) + 1
     wrapped = vb1 == 0
     lb_hi = jnp.where(wrapped, jnp.uint32(2), vb1 >> 31)
@@ -485,11 +522,11 @@ def _decode_binary(state, src, src_len, mask):
     # a,b from cdf values (bit, bit+1) at precision 1.
     a = _mul_shift(sm1, bit, jnp.uint32(1))
     b = _mul_shift(sm1, bit + 1, jnp.uint32(1)) - 1
-    state = _refine_decoder(state, src, src_len, a, b, mask)
+    state = _refine_decoder(state, src16, a, b, mask)
     return state, bit
 
 
-def _gamma_decode(state, src, src_len, active):
+def _gamma_decode(state, src16, active):
     """Masked Elias-gamma decode for lanes in `active`."""
 
     def unary_cond(c):
@@ -498,7 +535,7 @@ def _gamma_decode(state, src, src_len, active):
 
     def unary_body(c):
         state, act, n = c
-        state, bit = _decode_binary(state, src, src_len, act)
+        state, bit = _decode_binary(state, src16, act)
         n = n + jnp.where(act & (bit == 0), 1, 0).astype(jnp.uint32)
         # The n < 31 bound guards against infinite loops on corrupt streams.
         act = act & (bit == 0) & (n < 31)
@@ -517,7 +554,7 @@ def _gamma_decode(state, src, src_len, active):
     def bits_body(c):
         state, k, value = c
         act = active & (k > 0)
-        state, bit = _decode_binary(state, src, src_len, act)
+        state, bit = _decode_binary(state, src16, act)
         value = jnp.where(act, value | (bit << (k - 1)), value)
         k = jnp.where(act, k - 1, k)
         return state, k, value
@@ -525,18 +562,20 @@ def _gamma_decode(state, src, src_len, active):
     state, _, value = jax.lax.while_loop(
         bits_cond, bits_body, (state, jnp.where(active, n, 0), value))
 
-    state, sign = _decode_binary(state, src, src_len, active)
+    state, sign = _decode_binary(state, src16, active)
     return state, value, sign
 
 
 @functools.partial(jax.jit, static_argnums=(3, 9))
-def decode_core(src, src_len, indexes, num_elements, cdf, length, precision,
-                overflow, init_skip_unused=None, any_overflow=True):
-    """Decodes [S, num_elements] symbols from padded byte buffers.
+def decode_core(src16, src_len, indexes, num_elements, cdf, length,
+                precision, overflow, init_skip_unused=None,
+                any_overflow=True):
+    """Decodes [S, num_elements] symbols from padded 16-bit chunk buffers.
 
     Args:
-      src: uint8 [S, L] padded source bytes.
-      src_len: int32 [S] actual byte length per stream.
+      src16: uint32 [S, C] big-endian 16-bit chunks of the source bytes
+        (zero-padded; odd trailing byte sits in a chunk's high byte).
+      src_len: int32 [S] actual BYTE length per stream.
       indexes: int32 [S, num_elements] CDF row per element.
       num_elements: static int.
       cdf, length, precision, overflow: dense table arrays.
@@ -546,18 +585,18 @@ def decode_core(src, src_len, indexes, num_elements, cdf, length, precision,
       (symbols int32 [S, num_elements], sanity bool [S]).
     """
     del init_skip_unused
-    num_streams = src.shape[0]
-    src = src.astype(jnp.uint32)
+    num_streams = src16.shape[0]
+    src16 = src16.astype(jnp.uint32)
 
-    value0 = jnp.zeros(num_streams, jnp.uint32)
-    pos0 = jnp.zeros(num_streams, jnp.int32)
-    value0, pos0 = _read16(src, src_len, value0, pos0)
-    value0, pos0 = _read16(src, src_len, value0, pos0)
+    chunks0 = jnp.zeros(num_streams, jnp.int32)
+    c0 = _fetch_chunk(src16, chunks0)
+    c1 = _fetch_chunk(src16, chunks0 + 1)
+    value0 = (c0 << 16) | c1
     init = (
         jnp.zeros(num_streams, jnp.uint32),
         jnp.full(num_streams, _MASK32, jnp.uint32),
         value0,
-        pos0,
+        jnp.full(num_streams, 2, jnp.int32),  # chunks_read
     )
     all_mask = jnp.ones(num_streams, bool)
     cdf_f = cdf.astype(jnp.float32)
@@ -581,12 +620,12 @@ def decode_core(src, src_len, indexes, num_elements, cdf, length, precision,
             prec_r = precision[row]
             ovf_r = overflow[row]
         state, sym = _decode_symbol(
-            state, src, src_len, cdf_rows_f, prec_r, all_mask)
+            state, src16, cdf_rows_f, prec_r, all_mask)
         sym = sym.astype(jnp.int32)
         if any_overflow:
             mv = len_r - 2
             esc = ovf_r & (sym == mv)
-            state, gval, gsign = _gamma_decode(state, src, src_len, esc)
+            state, gval, gsign = _gamma_decode(state, src16, esc)
             gv = gval.astype(jnp.int32)
             decoded = jnp.where(
                 gsign == 1, -gv, gv + mv - 1)
@@ -597,7 +636,9 @@ def decode_core(src, src_len, indexes, num_elements, cdf, length, precision,
     symbols = symbols.T
 
     # Weak sanity check (RangeDecoder::Finalize, range_coder.h:144-169).
-    base, sm1, value, pos = state
+    # The byte position after reading k chunks is min(2k, src_len), so the
+    # "stream fully consumed" condition is 2 * chunks_read >= src_len.
+    base, sm1, value, chunks_read = state
     upper_end = base + sm1
     straddle = upper_end < base
     shift_is24 = ((base - 1) >> 24) < (upper_end >> 24)
@@ -605,7 +646,8 @@ def decode_core(src, src_len, indexes, num_elements, cdf, length, precision,
     mid = ((base - 1) >> shift) + 1
     ok_mid = (mid << shift) == value
     sanity = jnp.where(
-        (base == 0) | straddle, value == 0, ok_mid) & (pos == src_len)
+        (base == 0) | straddle, value == 0, ok_mid) & (
+            2 * chunks_read >= src_len)
     return symbols, sanity
 
 
@@ -655,20 +697,30 @@ def encode_streams(symbols, table, indexes=None) -> tuple[np.ndarray, np.ndarray
     return np.asarray(buf), np.asarray(lengths)
 
 
+def bytes_to_chunks(byte_buf):
+    """Packs a padded uint8 byte buffer [S, L] into u32 16-bit chunks."""
+    byte_buf = np.asarray(byte_buf, np.uint8)
+    if byte_buf.shape[1] % 2:
+        byte_buf = np.pad(byte_buf, ((0, 0), (0, 1)))
+    hi = byte_buf[:, 0::2].astype(np.uint32)
+    lo = byte_buf[:, 1::2].astype(np.uint32)
+    return (hi << 8) | lo
+
+
 def decode_streams(byte_buf, byte_lens, num_elements, table, indexes=None):
     """Decodes padded byte buffers back to int32 symbols [S, num_elements]."""
     if isinstance(table, tables.CdfTable):
         table = DeviceCdfTable(table)
-    byte_buf = np.asarray(byte_buf, np.uint8)
     byte_lens = np.asarray(byte_lens, np.int32)
-    num_streams = byte_buf.shape[0]
+    num_streams = np.asarray(byte_buf).shape[0]
     if indexes is None:
         indexes = np.broadcast_to(
             np.arange(num_elements, dtype=np.int32) % table.num_rows,
             (num_streams, num_elements))
     indexes = np.asarray(indexes, np.int32)
+    src16 = bytes_to_chunks(byte_buf)
     symbols, sanity = decode_core(
-        jnp.asarray(byte_buf), jnp.asarray(byte_lens), jnp.asarray(indexes),
+        jnp.asarray(src16), jnp.asarray(byte_lens), jnp.asarray(indexes),
         int(num_elements), table.cdf, table.length, table.precision,
         table.overflow, None, table.any_overflow)
     return np.asarray(symbols), np.asarray(sanity)
