@@ -80,8 +80,13 @@ def bench_tpu(table, symbols):
     buf, lengths = jax.block_until_ready(encode_j(sym_d, idx_d))
 
     def decode(buf, lengths, idx):
+        # Pack bytes into 16-bit chunks on device (part of decode cost).
+        if buf.shape[1] % 2:
+            buf = jnp.pad(buf, ((0, 0), (0, 1)))
+        src16 = ((buf[:, 0::2].astype(jnp.uint32) << 8)
+                 | buf[:, 1::2].astype(jnp.uint32))
         return jax_coder.decode_core(
-            buf, lengths, idx, NUM_ELEMENTS, dev_table.cdf,
+            src16, lengths, idx, NUM_ELEMENTS, dev_table.cdf,
             dev_table.length, dev_table.precision, dev_table.overflow,
             None, False)
 

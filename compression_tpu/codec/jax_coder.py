@@ -130,9 +130,7 @@ def _encode_step(carry, op):
         straddle, delay, jnp.where(tag == 2, top + 1, 0))
     w_val = jnp.where(tag == 2, top + 1, jnp.where(tag == 1, top, 0))
     new_group = group + (tag == 2)
-    w_group = jnp.where(tag == 2, new_group, group)
     new_pend_start = jnp.where(tag == 2, ptr, pend_start)
-    w_pos = ptr
     new_ptr = ptr + 2 * (tag != 0)
 
     keep = lambda new, old: jnp.where(mask, new, old)
@@ -297,7 +295,10 @@ def _cdf_pair_lookup(table: "DeviceCdfTable", rows, vq):
 
     def chunk(ic):
         onehot = jax.nn.one_hot(ic, k_size, dtype=jnp.float32)
-        return jnp.dot(onehot, pair, preferred_element_type=jnp.float32)
+        # HIGHEST: TPU's default matmul precision is bf16 and would
+        # truncate CDF values; highest (multi-pass) is exact for <= 2**16.
+        return jnp.dot(onehot, pair, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
 
     out = jax.lax.map(chunk, idx_p).reshape(-1, 2)[:m]
     c_lo = out[:, 0].astype(jnp.uint32).reshape(shape)
@@ -615,7 +616,8 @@ def decode_core(src16, src_len, indexes, num_elements, cdf, length,
             # serialized gather (values <= 2**16 are exact in f32).
             onehot = jax.nn.one_hot(row, num_rows, dtype=jnp.float32)
             cdf_rows_f = jnp.dot(
-                onehot, cdf_f, preferred_element_type=jnp.float32)
+                onehot, cdf_f, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
             len_r = length[row]
             prec_r = precision[row]
             ovf_r = overflow[row]
