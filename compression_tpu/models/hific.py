@@ -458,3 +458,56 @@ class HiFiCCodec:
         x_hat = self._decode(self.params, y_hat)
         x_hat = np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
         return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
+
+
+def train(config: HiFiCConfig = HiFiCConfig(), steps=1000, batch_size=2,
+          patchsize=256, learning_rate=1e-4, data_iter=None, seed=0,
+          num_steps_disc=1, log_every=100):
+    """Two-optimizer GAN training loop (reference model.py build_model)."""
+    import numpy as np_
+
+    model = HiFiCModel(cfg=config)
+    disc = Discriminator() if config.use_gan else None
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+    dummy = jnp.zeros((1, patchsize, patchsize, 3))
+    params = model.init(init_key, dummy, training=False)
+
+    d_params = d_state = d_opt_state = d_vars = None
+    g_opt = optax.adam(learning_rate)
+    g_state = g_opt.init(params)
+    d_opt = optax.adam(learning_rate) if disc is not None else None
+    if disc is not None:
+        _, y_hat, _, _ = model.apply(
+            params, dummy, training=True, key=jax.random.PRNGKey(1))
+        d_vars = disc.init(
+            jax.random.PRNGKey(2), dummy / 255.0, y_hat, update_stats=False)
+        d_params = d_vars["params"]
+        d_state = {k: v for k, v in d_vars.items() if k != "params"}
+        d_opt_state = d_opt.init(d_params)
+
+    g_step, d_step = make_train_steps(model, disc, g_opt, d_opt)
+
+    def default_iter():
+        rng = np_.random.RandomState(seed)
+        while True:
+            yield rng.randint(
+                0, 256, (batch_size, patchsize, patchsize, 3)).astype(
+                    np_.float32)
+
+    it = data_iter if data_iter is not None else default_iter()
+    for step, batch in zip(range(steps), it):
+        batch = jnp.asarray(batch)
+        key, kg = jax.random.split(key)
+        if disc is not None:
+            d_vars = {"params": d_params, **d_state}
+        params, g_state, gm = g_step(params, g_state, d_vars, batch, kg, step)
+        if disc is not None:
+            for _ in range(num_steps_disc):
+                key, kd = jax.random.split(key)
+                d_params, d_state, d_opt_state, dm = d_step(
+                    d_params, d_state, d_opt_state, params, batch, kd)
+        if log_every and step % log_every == 0:
+            msg = " ".join(f"{k}={float(v):.4f}" for k, v in gm.items())
+            print(f"step {step}: {msg}", flush=True)
+    return model, params
