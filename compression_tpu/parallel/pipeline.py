@@ -65,8 +65,12 @@ class BatchCodec:
             data = NamedSharding(self.mesh, P("data"))
 
             def decode(buf, lens, indexes):
+                if buf.shape[1] % 2:
+                    buf = jnp.pad(buf, ((0, 0), (0, 1)))
+                src16 = ((buf[:, 0::2].astype(jnp.uint32) << 8)
+                         | buf[:, 1::2].astype(jnp.uint32))
                 return jax_coder.decode_core(
-                    buf, lens, indexes, num_elements, table.cdf,
+                    src16, lens, indexes, num_elements, table.cdf,
                     table.length, table.precision, table.overflow, None,
                     table.any_overflow)
 
