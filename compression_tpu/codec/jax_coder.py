@@ -476,6 +476,64 @@ def _symbol_threshold(state, prec):
     return jnp.maximum(t, 1)
 
 
+def _bucketize_row(cdf_row_f, bucket=16):
+    """Precomputes (bucket_last [nb], win17 [nb, 1+bucket]) for one row.
+
+    win17[b] = [last entry of bucket b-1 (or 0), entries of bucket b]; used
+    by the bucketed symbol search (`_decode_symbol_bucketed`).
+    """
+    length = cdf_row_f.shape[0]
+    pad = (-length) % bucket
+    terminal = cdf_row_f[-1]
+    row = jnp.concatenate(
+        [cdf_row_f, jnp.full((pad,), terminal, cdf_row_f.dtype)])
+    nb = row.shape[0] // bucket
+    buckets = row.reshape(nb, bucket)
+    bucket_last = buckets[:, -1]
+    prev_last = jnp.concatenate(
+        [jnp.zeros((1,), row.dtype), bucket_last[:-1]])
+    win = jnp.concatenate([prev_last[:, None], buckets], axis=1)
+    return bucket_last, win
+
+
+def _decode_symbol_bucketed(state, src16, bucket_last, win17, max_pv, prec,
+                            mask):
+    """Single-row symbol decode with a two-level (16-ary) CDF search.
+
+    The count of entries below the threshold splits into full buckets
+    (prefix of `bucket_last < t`, by monotonicity) plus the count inside
+    the single straddling bucket, whose entries are pulled with a one-hot
+    MXU matmul.  ~4x fewer VPU ops per symbol than the flat scan.
+    """
+    base, sm1, value, chunks_read = state
+    t = _symbol_threshold(state, prec)
+    t_f = t.astype(jnp.float32)
+
+    nb = bucket_last.shape[0]
+    full = bucket_last[None, :] < t_f[:, None]  # [S, nb], prefix property
+    nfull = jnp.sum(full.astype(jnp.float32), axis=1).astype(jnp.int32)
+    bsel = jnp.minimum(nfull, nb - 1)
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (t.shape[0], nb), 1)
+              == bsel[:, None]).astype(jnp.float32)
+    win = jnp.dot(onehot, win17, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)  # [S, 17]
+
+    below = win < t_f[:, None]
+    fine = jnp.sum(below[:, 1:].astype(jnp.float32), axis=1).astype(
+        jnp.int32)
+    pv = jnp.minimum(16 * nfull + fine, max_pv)
+
+    c_lo = jnp.max(jnp.where(below, win, 0.0), axis=1).astype(jnp.uint32)
+    c_hi = jnp.minimum(
+        jnp.min(jnp.where(below, jnp.float32(2**17), win), axis=1),
+        jnp.float32(2**16)).astype(jnp.uint32)
+
+    a = _mul_shift(sm1, c_lo, prec)
+    b = _mul_shift(sm1, c_hi, prec) - 1
+    state = _refine_decoder(state, src16, a, b, mask)
+    return state, pv.astype(jnp.uint32) - 1
+
+
 def _decode_symbol(state, src16, cdf_rows_f, prec, mask):
     """Decodes one symbol per active lane. cdf_rows_f: [S, Lmax] float32.
 
@@ -602,15 +660,27 @@ def decode_core(src16, src_len, indexes, num_elements, cdf, length,
     all_mask = jnp.ones(num_streams, bool)
     cdf_f = cdf.astype(jnp.float32)
     num_rows = cdf.shape[0]
+    if num_rows == 1:
+        bucket_last1, win17_1 = _bucketize_row(cdf_f[0])
 
     def step(state, row):
         if num_rows == 1:
-            # Single shared row: no gather at all.
-            cdf_rows_f = jnp.broadcast_to(
-                cdf_f[0][None, :], (num_streams, cdf.shape[1]))
+            # Single shared row: bucketed two-level search, no gathers.
             len_r = jnp.broadcast_to(length[0], (num_streams,))
             prec_r = jnp.broadcast_to(precision[0], (num_streams,))
             ovf_r = jnp.broadcast_to(overflow[0], (num_streams,))
+            state, sym = _decode_symbol_bucketed(
+                state, src16, bucket_last1, win17_1, cdf.shape[1] - 1,
+                prec_r, all_mask)
+            sym = sym.astype(jnp.int32)
+            if any_overflow:
+                mv = len_r - 2
+                esc = ovf_r & (sym == mv)
+                state, gval, gsign = _gamma_decode(state, src16, esc)
+                gv = gval.astype(jnp.int32)
+                sym = jnp.where(
+                    esc, jnp.where(gsign == 1, -gv, gv + mv - 1), sym)
+            return state, sym
         else:
             # Row select as a one-hot matmul: runs on the MXU instead of a
             # serialized gather (values <= 2**16 are exact in f32).
@@ -699,9 +769,18 @@ def encode_streams(symbols, table, indexes=None) -> tuple[np.ndarray, np.ndarray
     return np.asarray(buf), np.asarray(lengths)
 
 
-def bytes_to_chunks(byte_buf):
-    """Packs a padded uint8 byte buffer [S, L] into u32 16-bit chunks."""
+def bytes_to_chunks(byte_buf, byte_lens=None):
+    """Packs a padded uint8 byte buffer [S, L] into u32 16-bit chunks.
+
+    When lengths are given, the buffer is trimmed to the longest stream
+    (+1 chunk of slack) — the chunk-feed scan in the decoder costs O(C)
+    per symbol, so a tight C matters.
+    """
     byte_buf = np.asarray(byte_buf, np.uint8)
+    if byte_lens is not None:
+        max_len = int(np.max(byte_lens, initial=0))
+        width = min(byte_buf.shape[1], max_len + 2)
+        byte_buf = byte_buf[:, :width]
     if byte_buf.shape[1] % 2:
         byte_buf = np.pad(byte_buf, ((0, 0), (0, 1)))
     hi = byte_buf[:, 0::2].astype(np.uint32)
@@ -720,7 +799,7 @@ def decode_streams(byte_buf, byte_lens, num_elements, table, indexes=None):
             np.arange(num_elements, dtype=np.int32) % table.num_rows,
             (num_streams, num_elements))
     indexes = np.asarray(indexes, np.int32)
-    src16 = bytes_to_chunks(byte_buf)
+    src16 = bytes_to_chunks(byte_buf, byte_lens)
     symbols, sanity = decode_core(
         jnp.asarray(src16), jnp.asarray(byte_lens), jnp.asarray(indexes),
         int(num_elements), table.cdf, table.length, table.precision,
