@@ -163,3 +163,47 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def em_level_fixture():
+    """EM-level cross-parity: my table build + symbol pipeline, encoded by
+    the REFERENCE ops vs my coder (validates stream partitioning, offset
+    conventions, and table formats end to end)."""
+    import jax
+    from compression_tpu import distributions as d
+    from compression_tpu.entropy_models import ContinuousBatchedEntropyModel
+
+    out = {}
+    prior = d.NoisyNormal(loc=0.25, scale=np.asarray([0.5, 1.0, 2.0]))
+    em = ContinuousBatchedEntropyModel(
+        prior=prior, coding_rank=3, compression=True)
+    rng = np.random.RandomState(7)
+    x = (rng.normal(0, 1.2, size=(2, 6, 5, 3))).astype(np.float32)
+
+    # My full compress path.
+    mine = em.compress_to_strings(x)
+
+    # Reference ops driven with MY tables and the same symbol pipeline.
+    offset = np.asarray(em.quantization_offset)
+    symbols = np.round(x - offset).astype(np.int32)
+    symbols2 = symbols.reshape(2, -1)
+    row_ids = np.arange(symbols2.shape[1]) % em.cdf_offset.shape[0]
+    symbols2 = symbols2 - np.asarray(em.cdf_offset)[row_ids][None, :]
+    ref = ref_encode(symbols2, em.cdf)
+    assert mine == ref, "EM-level byte parity failed!"
+    print("EM-level parity: ContinuousBatched compress bytes match "
+          "reference ops")
+    out["em__cdf"] = np.asarray(em.cdf, np.int32)
+    out["em__cdf_offset"] = np.asarray(em.cdf_offset, np.int32)
+    out["em__offset"] = offset.astype(np.float32)
+    out["em__x"] = x
+    out["em__nbytes"] = np.asarray([len(b) for b in ref], np.int32)
+    out["em__bytes"] = np.frombuffer(b"".join(ref), np.uint8)
+    return out
+
+
+def append_em_fixture():
+    data = dict(np.load("golden_ops.npz"))
+    data.update(em_level_fixture())
+    np.savez_compressed("golden_ops.npz", **data)
+    print("updated golden_ops.npz with EM-level fixture")

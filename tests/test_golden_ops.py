@@ -84,3 +84,32 @@ class TestCoderOpsGolden:
                 buf, lengths, values.shape[1], t, index)
             np.testing.assert_array_equal(decoded, values, err_msg=name)
             assert sanity.all(), name
+
+
+class TestEntropyModelGolden:
+    def test_em_compress_bytes_match_reference_ops(self, data):
+        """My ContinuousBatched compress pipeline == reference C++ ops
+        driven with the same tables (EM-level cross parity)."""
+        from compression_tpu import distributions as d
+        from compression_tpu.entropy_models import (
+            ContinuousBatchedEntropyModel,
+        )
+
+        prior = d.NoisyNormal(loc=0.25, scale=np.asarray([0.5, 1.0, 2.0]))
+        em = ContinuousBatchedEntropyModel(
+            prior=prior, coding_rank=3, compression=True)
+        # Table build must be reproducible.
+        np.testing.assert_array_equal(em.cdf, data["em__cdf"])
+        np.testing.assert_array_equal(em.cdf_offset, data["em__cdf_offset"])
+        np.testing.assert_allclose(
+            np.asarray(em.quantization_offset), data["em__offset"],
+            atol=1e-6)
+
+        x = data["em__x"]
+        mine = em.compress_to_strings(x)
+        blob = data["em__bytes"].tobytes()
+        strings, pos = [], 0
+        for nb in data["em__nbytes"]:
+            strings.append(blob[pos : pos + int(nb)])
+            pos += int(nb)
+        assert mine == strings
