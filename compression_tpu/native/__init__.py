@@ -1,0 +1,65 @@
+"""Native host-side components (C, ctypes-loaded, built on demand).
+
+The TPU compute path is JAX/Pallas; the host runtime around it (byte-stream
+codes, container tooling) has native implementations here, mirroring the
+reference's split between C++ kernels and Python glue.  Builds with the
+system C compiler on first use and caches the shared object next to the
+source; every entry point has a pure-Python fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+
+def _build_and_load():
+    src = os.path.join(os.path.dirname(__file__), "host_codecs.c")
+    out = os.path.join(os.path.dirname(__file__), "_host_codecs.so")
+    if not os.path.exists(out) or (
+            os.path.getmtime(out) < os.path.getmtime(src)):
+        for cc in ("cc", "gcc", "clang"):
+            try:
+                subprocess.run(
+                    [cc, "-O2", "-shared", "-fPIC", src, "-o", out],
+                    check=True, capture_output=True, timeout=120)
+                break
+            except (OSError, subprocess.SubprocessError):
+                continue
+        else:
+            return None
+    lib = ctypes.CDLL(out)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rlg_encode.restype = ctypes.c_long
+    lib.rlg_encode.argtypes = [c_i32p, ctypes.c_long, c_u8p, ctypes.c_long]
+    lib.rlg_decode.restype = ctypes.c_long
+    lib.rlg_decode.argtypes = [c_u8p, ctypes.c_long, c_i32p, ctypes.c_long]
+    lib.rl_encode.restype = ctypes.c_long
+    lib.rl_encode.argtypes = [
+        c_i32p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        c_u8p, ctypes.c_long]
+    lib.rl_decode.restype = ctypes.c_long
+    lib.rl_decode.argtypes = [
+        c_u8p, ctypes.c_long, c_i32p, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int]
+    return lib
+
+
+def get_lib():
+    """Returns the loaded native library, or None if unavailable."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if not _TRIED:
+            _TRIED = True
+            try:
+                _LIB = _build_and_load()
+            except Exception:
+                _LIB = None
+    return _LIB

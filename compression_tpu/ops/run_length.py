@@ -111,8 +111,24 @@ class BitReader:
         return (msbs << parameter) | self.read_bits(parameter)
 
 
+def _native():
+    from compression_tpu import native
+    return native.get_lib()
+
+
 def run_length_gamma_encode(data) -> bytes:
     """Zero-run + sign + gamma-magnitude code over an int array."""
+    lib = _native()
+    if lib is not None:
+        arr = np.ascontiguousarray(data, np.int32).ravel()
+        cap = 24 * arr.size + 64
+        out = np.empty(cap, np.uint8)
+        import ctypes
+        n = lib.rlg_encode(
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), arr.size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if n >= 0:
+            return out[:n].tobytes()
     data = np.asarray(data, np.int64).ravel()
     enc = BitWriter()
     zero_ct = 1
@@ -134,6 +150,18 @@ def run_length_gamma_encode(data) -> bytes:
 
 def run_length_gamma_decode(code: bytes, shape) -> np.ndarray:
     """Inverse of run_length_gamma_encode."""
+    lib = _native()
+    if lib is not None:
+        size = int(np.prod(shape))
+        buf = np.frombuffer(bytes(code), np.uint8)
+        out = np.zeros(size, np.int32)
+        import ctypes
+        rc = lib.rlg_decode(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), size)
+        if rc == 0:
+            return out.reshape(shape)
+        raise ValueError("Decoded past end of tensor or out of bits.")
     size = int(np.prod(shape))
     out = np.zeros(size, np.int32)
     dec = BitReader(code)
@@ -190,6 +218,20 @@ def _read_non_zero(dec, magnitude_code):
 def run_length_encode(data, run_length_code=-1, magnitude_code=-1,
                       use_run_length_for_non_zeros=False) -> bytes:
     """General run-length code with selectable Rice/gamma sub-codes."""
+    lib = _native()
+    if lib is not None:
+        arr = np.ascontiguousarray(data, np.int32).ravel()
+        cap = 24 * arr.size + 64
+        out = np.empty(cap, np.uint8)
+        import ctypes
+        n = lib.rl_encode(
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), arr.size,
+            int(run_length_code), int(magnitude_code),
+            int(bool(use_run_length_for_non_zeros)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if n >= 0:
+            return out[:n].tobytes()
+        # fall through (e.g. pathological Rice expansion beyond cap)
     data = np.asarray(data, np.int64).ravel()
     enc = BitWriter()
     n = len(data)
@@ -222,6 +264,20 @@ def run_length_decode(code: bytes, shape, run_length_code=-1,
                       magnitude_code=-1,
                       use_run_length_for_non_zeros=False) -> np.ndarray:
     """Inverse of run_length_encode."""
+    lib = _native()
+    if lib is not None:
+        size = int(np.prod(shape))
+        buf = np.frombuffer(bytes(code), np.uint8)
+        out = np.zeros(size, np.int32)
+        import ctypes
+        rc = lib.rl_decode(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), size,
+            int(run_length_code), int(magnitude_code),
+            int(bool(use_run_length_for_non_zeros)))
+        if rc == 0:
+            return out.reshape(shape)
+        raise ValueError("Decoded past end of tensor or out of bits.")
     size = int(np.prod(shape))
     out = np.zeros(size, np.int32)
     dec = BitReader(code)

@@ -104,3 +104,39 @@ class TestRunLength:
                 np.testing.assert_array_equal(
                     rl.run_length_decode(code, data.shape, -1, -1, rlnz),
                     data)
+
+
+class TestNativeParity:
+    """Native C codecs must be byte-identical to the pure-Python path."""
+
+    def _python_only(self, monkeypatch):
+        from compression_tpu.ops import run_length as rl_mod
+        monkeypatch.setattr(rl_mod, "_native", lambda: None)
+
+    def test_gamma_native_vs_python(self, monkeypatch):
+        import compression_tpu.native as native
+        if native.get_lib() is None:
+            pytest.skip("no C compiler available")
+        rng = np.random.RandomState(5)
+        data = rng.randint(-40, 40, size=400)
+        data[rng.rand(400) < 0.6] = 0
+        native_code = rl.run_length_gamma_encode(data)
+        self._python_only(monkeypatch)
+        python_code = rl.run_length_gamma_encode(data)
+        assert native_code == python_code
+        np.testing.assert_array_equal(
+            rl.run_length_gamma_decode(native_code, (400,)), data)
+
+    def test_rl_native_vs_python(self, monkeypatch):
+        import compression_tpu.native as native
+        if native.get_lib() is None:
+            pytest.skip("no C compiler available")
+        rng = np.random.RandomState(6)
+        data = rng.randint(-25, 25, size=300)
+        data[rng.rand(300) < 0.5] = 0
+        for rlc, mc, rlnz in [(-1, -1, False), (0, 2, True), (1, -1, True)]:
+            native_code = rl.run_length_encode(data, rlc, mc, rlnz)
+            self._python_only(monkeypatch)
+            python_code = rl.run_length_encode(data, rlc, mc, rlnz)
+            monkeypatch.undo()
+            assert native_code == python_code, (rlc, mc, rlnz)
