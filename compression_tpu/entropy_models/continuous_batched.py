@@ -250,6 +250,38 @@ class ContinuousBatchedEntropyModel(continuous_base.ContinuousEntropyModelBase):
             outputs = outputs + offset
         return outputs
 
+    def decompress_device(self, src16, byte_lens, broadcast_shape):
+        """Fully traced decompress: runs inside jit, end to end on device.
+
+        Args:
+          src16: uint32 [S, C] chunk buffers (see jax_coder.bytes_to_chunks).
+          byte_lens: int32 [S].
+          broadcast_shape: static shape between batch and prior dims.
+
+        Returns:
+          (outputs [S, *broadcast, *prior_shape], sanity [S] bool).
+        """
+        self._check_compression()
+        import jax.numpy as jnp_
+
+        table = self.device_table
+        broadcast_shape = tuple(int(s) for s in broadcast_shape)
+        num_rows = int(self.cdf_offset.shape[0])
+        n = int(np.prod(broadcast_shape)) * int(np.prod(self.prior_shape))
+        row_ids = jnp_.arange(n, dtype=jnp_.int32) % num_rows
+        indexes = jnp_.broadcast_to(row_ids, (src16.shape[0], n))
+        symbols, sanity = jax_coder.decode_core(
+            src16, byte_lens, indexes, n, table.cdf, table.length,
+            table.precision, table.overflow, None, table.any_overflow)
+        symbols = symbols + jnp_.asarray(self.cdf_offset)[row_ids][None]
+        outputs = symbols.reshape(
+            (src16.shape[0],) + broadcast_shape + self.prior_shape
+        ).astype(self.bottleneck_dtype)
+        offset = self.quantization_offset
+        if offset is not None:
+            outputs = outputs + offset
+        return outputs, sanity
+
     def get_config(self):
         config = super().get_config()
         config.update(

@@ -217,6 +217,26 @@ class ContinuousIndexedEntropyModel(continuous_base.ContinuousEntropyModelBase):
             symbols.reshape(out_shape), self.bottleneck_dtype)
 
 
+    def decompress_device(self, src16, byte_lens, indexes):
+        """Fully traced indexed decompress (runs inside jit on device)."""
+        self._check_compression()
+        table = self.device_table
+        indexes = self._normalize_indexes(
+            jnp.asarray(indexes, self.prior_dtype))
+        flat_indexes = self._flatten_indexes(indexes)
+        out_shape = flat_indexes.shape
+        batch_shape = out_shape[: flat_indexes.ndim - self.coding_rank]
+        num_streams = int(np.prod(batch_shape)) if batch_shape else 1
+        n = int(np.prod(out_shape[len(batch_shape):]))
+        idx2 = flat_indexes.reshape(num_streams, n)
+        symbols, sanity = jax_coder.decode_core(
+            src16, byte_lens, idx2, n, table.cdf, table.length,
+            table.precision, table.overflow, None, table.any_overflow)
+        symbols = symbols + jnp.asarray(self.cdf_offset)[idx2]
+        return (symbols.reshape(out_shape).astype(self.bottleneck_dtype),
+                sanity)
+
+
 class LocationScaleIndexedEntropyModel(ContinuousIndexedEntropyModel):
     """Indexed entropy model over a table of scales, with loc shifted out."""
 
@@ -283,3 +303,11 @@ class LocationScaleIndexedEntropyModel(ContinuousIndexedEntropyModel):
         if loc is not None:
             values = values + loc
         return values
+
+    def decompress_device(self, src16, byte_lens, scale_indexes, loc=None):
+        """Fully traced loc/scale decompress (runs inside jit on device)."""
+        values, sanity = super().decompress_device(
+            src16, byte_lens, scale_indexes)
+        if loc is not None:
+            values = values + loc
+        return values, sanity

@@ -312,6 +312,7 @@ class MS2020Codec:
             lambda p, i, ms, yh: m.apply(
                 p, i, ms, yh, method=MS2020Model.lrp),
             static_argnums=(1,))
+        self._device_decoders = {}
 
     def compress(self, x) -> bytes:
         x = jnp.asarray(x, jnp.float32)[None]
@@ -347,6 +348,64 @@ class MS2020Codec:
             [x_shape, y_shape, z_shape, z_strings]
             + [[s] for s in y_strings])
         return packed.string
+
+    def decompress_on_device(self, container: bytes) -> np.ndarray:
+        """Single-jit decode: hyper decode, all 10 autoregressive slices,
+        their range decoding, LRP and synthesis run in ONE compiled program
+        on device — the container parse is the only host work.  (The
+        reference crosses device<->host ~20x per image,
+        models/ms2020.py:391-430; SURVEY.md hard part #5.)
+        """
+        packed = PackedTensors(container)
+        assert packed.model == self.MODEL_ID
+        fields = packed.unpack(
+            [np.int32, np.int32, np.int32, "bytes"]
+            + ["bytes"] * self.model.num_slices)
+        x_shape, y_shape, z_shape, z_strings = fields[:4]
+        y_strings = [f[0] for f in fields[4:]]
+
+        from compression_tpu.codec import jax_coder as jc
+        z_buf, z_lens = jc.from_bytes_list(list(z_strings))
+        z16 = jnp.asarray(jc.bytes_to_chunks(z_buf, z_lens))
+        y_bufs, y_lens = jc.from_bytes_list(y_strings)
+        y16 = jnp.asarray(jc.bytes_to_chunks(y_bufs, y_lens))
+        key = (tuple(z_shape), tuple(y_shape), z16.shape[1], y16.shape[1])
+        fn = self._device_decoders.get(key)
+        if fn is None:
+            fn = self._build_device_decoder(
+                tuple(int(s) for s in z_shape),
+                tuple(int(s) for s in y_shape))
+            self._device_decoders[key] = fn
+        x_hat = fn(self.params, z16, jnp.asarray(z_lens), y16,
+                   jnp.asarray(y_lens))
+        x_hat = np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
+        return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
+
+    def _build_device_decoder(self, z_shape, y_shape):
+        model, em_z, em_y = self.model, self.em_z, self.em_y
+        num_slices = model.num_slices
+
+        def decode_all(params, z16, z_lens, y16, y_lens):
+            z_hat, _ = em_z.decompress_device(z16, z_lens, z_shape)
+            latent_scales, latent_means = model.apply(
+                params, z_hat, method=MS2020Model.hyper_decode)
+            y_hat_slices = []
+            for i in range(num_slices):
+                support = (y_hat_slices if model.max_support_slices < 0
+                           else y_hat_slices[: model.max_support_slices])
+                mu, sigma, mean_support = model.apply(
+                    params, i, latent_means, latent_scales, tuple(support),
+                    y_shape, method=MS2020Model.slice_params)
+                y_hat_slice, _ = em_y.decompress_device(
+                    y16[i : i + 1], y_lens[i : i + 1], sigma, loc=mu)
+                y_hat_slice = y_hat_slice + model.apply(
+                    params, i, mean_support, y_hat_slice,
+                    method=MS2020Model.lrp)
+                y_hat_slices.append(y_hat_slice)
+            y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+            return model.apply(params, y_hat, method=MS2020Model.decode)
+
+        return jax.jit(decode_all)
 
     def decompress(self, container: bytes) -> np.ndarray:
         packed = PackedTensors(container)

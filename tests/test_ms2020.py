@@ -77,3 +77,18 @@ class TestCodec:
             [np.int32, np.int32, np.int32, "bytes"]
             + ["bytes"] * model.num_slices)
         assert len(fields) == 4 + model.num_slices
+
+
+def test_on_device_decode_matches_host_path():
+    """Single-jit AR decode (entropy decoding included) must reproduce the
+    host-loop decode exactly."""
+    model = tiny_model()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=False)
+    codec = ms2020.MS2020Codec(model, params)
+    x8 = np.random.RandomState(9).randint(
+        0, 256, (64, 64, 3)).astype(np.uint8)
+    container = codec.compress(x8)
+    host = codec.decompress(container)
+    device = codec.decompress_on_device(container)
+    np.testing.assert_array_equal(host, device)
