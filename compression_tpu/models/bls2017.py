@@ -232,3 +232,37 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def _codec_device_decode(codec, container):
+    """Single-jit decode for BLS2017Codec (entropy decode + synthesis)."""
+    import jax.numpy as jnp_
+
+    from compression_tpu.codec import jax_coder as jc
+
+    packed = PackedTensors(container)
+    assert packed.model == codec.MODEL_ID
+    strings, x_shape, y_shape = packed.unpack(["bytes", np.int32, np.int32])
+    buf, lens = jc.from_bytes_list(list(strings))
+    src16 = jnp_.asarray(jc.bytes_to_chunks(buf, lens))
+    key = (tuple(y_shape), src16.shape[1])
+    fn = codec._device_decoders.get(key) if hasattr(
+        codec, "_device_decoders") else None
+    if not hasattr(codec, "_device_decoders"):
+        codec._device_decoders = {}
+    if fn is None:
+        y_shape_t = tuple(int(s) for s in y_shape)
+
+        def decode_all(params, src16, lens):
+            y_hat, _ = codec.em.decompress_device(src16, lens, y_shape_t)
+            return codec.model.apply(
+                params, y_hat, method=BLS2017Model.decode)
+
+        fn = jax.jit(decode_all)
+        codec._device_decoders[key] = fn
+    x_hat = fn(codec.params, src16, jnp_.asarray(lens))
+    x_hat = np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
+    return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
+
+
+BLS2017Codec.decompress_on_device = _codec_device_decode

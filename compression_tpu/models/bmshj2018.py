@@ -274,3 +274,47 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def _codec_device_decode(codec, container):
+    """Single-jit decode for BMSHJ2018Codec: side stream, hyper synthesis,
+    y stream and synthesis all inside one compiled program."""
+    import jax.numpy as jnp_
+
+    from compression_tpu.codec import jax_coder as jc
+
+    packed = PackedTensors(container)
+    assert packed.model == codec.MODEL_ID
+    strings, side_strings, x_shape, y_shape, z_shape = packed.unpack(
+        ["bytes", "bytes", np.int32, np.int32, np.int32])
+    y_buf, y_lens = jc.from_bytes_list(list(strings))
+    z_buf, z_lens = jc.from_bytes_list(list(side_strings))
+    y16 = jnp_.asarray(jc.bytes_to_chunks(y_buf, y_lens))
+    z16 = jnp_.asarray(jc.bytes_to_chunks(z_buf, z_lens))
+    if not hasattr(codec, "_device_decoders"):
+        codec._device_decoders = {}
+    key = (tuple(y_shape), tuple(z_shape), y16.shape[1], z16.shape[1])
+    fn = codec._device_decoders.get(key)
+    if fn is None:
+        y_shape_t = tuple(int(s) for s in y_shape)
+        z_shape_t = tuple(int(s) for s in z_shape)
+
+        def decode_all(params, y16, y_lens, z16, z_lens):
+            z_hat, _ = codec.side_em.decompress_device(
+                z16, z_lens, z_shape_t)
+            indexes = codec.model.apply(
+                params, z_hat, method=BMSHJ2018Model.hyper_decode)
+            indexes = indexes[:, : y_shape_t[0], : y_shape_t[1], :]
+            y_hat, _ = codec.em.decompress_device(y16, y_lens, indexes)
+            return codec.model.apply(
+                params, y_hat, method=BMSHJ2018Model.decode)
+
+        fn = jax.jit(decode_all)
+        codec._device_decoders[key] = fn
+    x_hat = fn(codec.params, y16, jnp_.asarray(y_lens), z16,
+               jnp_.asarray(z_lens))
+    x_hat = np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
+    return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
+
+
+BMSHJ2018Codec.decompress_on_device = _codec_device_decode

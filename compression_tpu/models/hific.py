@@ -511,3 +511,23 @@ def train(config: HiFiCConfig = HiFiCConfig(), steps=1000, batch_size=2,
             msg = " ".join(f"{k}={float(v):.4f}" for k, v in gm.items())
             print(f"step {step}: {msg}", flush=True)
     return model, params
+
+
+_CONFIGS = {
+    # Mirrors the reference configs.py: 'hific' = GAN training,
+    # 'mselpips' = distortion/perceptual only.
+    "hific": HiFiCConfig(use_gan=True),
+    "mselpips": HiFiCConfig(use_gan=False, CP=0.0),
+}
+
+
+def get_config(config_name: str) -> HiFiCConfig:
+    if config_name not in _CONFIGS:
+        raise ValueError(
+            f"Unknown config_name={config_name} not in "
+            f"{sorted(_CONFIGS)}")
+    return _CONFIGS[config_name]
+
+
+def valid_configs():
+    return sorted(_CONFIGS)

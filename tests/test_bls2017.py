@@ -81,3 +81,15 @@ class TestCodec:
             0, 256, (50, 35, 3)).astype(np.uint8)
         x_hat = codec.decompress(codec.compress(x8))
         assert x_hat.shape == x8.shape
+
+
+def test_on_device_decode_matches_host():
+    model = small_model()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=False)
+    codec = bls2017.BLS2017Codec(model, params)
+    x8 = np.random.RandomState(11).randint(
+        0, 256, (64, 64, 3)).astype(np.uint8)
+    container = codec.compress(x8)
+    np.testing.assert_array_equal(
+        codec.decompress(container), codec.decompress_on_device(container))

@@ -75,3 +75,15 @@ class TestCodec:
             ["bytes", "bytes", np.int32, np.int32, np.int32])
         assert len(strings) == 1 and len(side) == 1
         np.testing.assert_array_equal(xs, [64, 48])
+
+
+def test_on_device_decode_matches_host():
+    model = small_model()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=False)
+    codec = bmshj2018.BMSHJ2018Codec(model, params)
+    x8 = np.random.RandomState(12).randint(
+        0, 256, (64, 64, 3)).astype(np.uint8)
+    container = codec.compress(x8)
+    np.testing.assert_array_equal(
+        codec.decompress(container), codec.decompress_on_device(container))
