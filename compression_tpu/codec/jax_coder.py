@@ -329,19 +329,24 @@ def micro_ops_from_symbols(symbols, indexes, table: DeviceCdfTable,
     rows = indexes
     prec_r = table.precision[rows]  # [S, N] uint32
     len_r = table.length[rows]  # [S, N] int32
-    ovf_r = table.overflow[rows]
-    mv = len_r - 2  # escape symbol index for overflow rows
-
     v = symbols
-    sign = ovf_r & (v < 0)
-    over = ovf_r & ~sign & (v >= mv)
-    escape = sign | over
-    vq = jnp.where(escape, mv, jnp.where(ovf_r, v, jnp.clip(v, 0, len_r - 2)))
-    gamma = jnp.where(
-        sign, -v, jnp.where(over, v - mv + 1, 1)).astype(jnp.uint32)
-    nbits = _floor_log2(jnp.maximum(gamma, 1))  # n_top
 
-    c_lo, c_hi = _cdf_pair_lookup(table, rows, vq)
+    if slots_per_symbol == 1 and not table.any_overflow:
+        # No overflow rows at all: skip the escape/gamma machinery.
+        vq = jnp.clip(v, 0, len_r - 2)
+        c_lo, c_hi = _cdf_pair_lookup(table, rows, vq)
+    else:
+        ovf_r = table.overflow[rows]
+        mv = len_r - 2  # escape symbol index for overflow rows
+        sign = ovf_r & (v < 0)
+        over = ovf_r & ~sign & (v >= mv)
+        escape = sign | over
+        vq = jnp.where(
+            escape, mv, jnp.where(ovf_r, v, jnp.clip(v, 0, len_r - 2)))
+        gamma = jnp.where(
+            sign, -v, jnp.where(over, v - mv + 1, 1)).astype(jnp.uint32)
+        nbits = _floor_log2(jnp.maximum(gamma, 1))  # n_top
+        c_lo, c_hi = _cdf_pair_lookup(table, rows, vq)
 
     if slots_per_symbol == 1:
         # Fast path: no escapes anywhere -> one op per symbol, identity
