@@ -158,3 +158,199 @@ def encode_scan_pallas(lower, upper, prec, mask, block=256):
         state[0], state[1], state[2],
         state[3].astype(jnp.int32), state[4].astype(jnp.int32))
     return tag, val, rese != 0, resd != 0, final_state
+
+
+# -----------------------------------------------------------------------------
+# Decoder kernel (single-row, no-overflow fast path)
+# -----------------------------------------------------------------------------
+def _make_decode_kernel(num_symbols, precision, max_pv, nb):
+    """Builds the decode kernel body for a single shared CDF row.
+
+    precision is static (single row), so all shifts are compile-time
+    constants.  Per symbol: exact threshold (f32 + split-u32 fixup),
+    bucketed CDF search with the straddling bucket pulled by a small dot,
+    one-hot chunk feed.  State lives in registers across the symbol loop.
+    """
+    shift_up = 32 - precision
+
+    def kernel(src16_ref, len_ref, blast_ref, win_ref, sym_ref, san_ref):
+        block = src16_ref.shape[0]
+        nchunks = src16_ref.shape[1]
+
+        def bc(x, dt):
+            # Mosaic only implements 2-D bitcasts; use a lane-aligned
+            # (sublane, 128) bounce shape.
+            return pltpu.bitcast(x.reshape(-1, 128), dt).reshape(x.shape)
+
+        def u2f(x):
+            # Mosaic has no u32->f32 cast; split at bit 31 and go via i32.
+            lo = bc(x & 0x7FFFFFFF, jnp.int32).astype(jnp.float32)
+            top = bc(x >> 31, jnp.int32).astype(jnp.float32)
+            return top * jnp.float32(2147483648.0) + lo
+
+        def f2u(f):
+            # Exact for 0 <= f < 2**31 (we only convert small thresholds).
+            return bc(f.astype(jnp.int32), jnp.uint32)
+
+        def b2f(b):
+            return jnp.where(b, jnp.float32(1.0), jnp.float32(0.0))
+
+        def mul_size(sm1, v):
+            h = sm1 >> 16
+            l = sm1 & 0xFFFF
+            p1 = h * v
+            p2a = l * v
+            p2 = p2a + v
+            c2 = (p2 < p2a).astype(jnp.uint32)
+            lo1 = p1 << 16
+            lo = lo1 + p2
+            c1 = (lo < lo1).astype(jnp.uint32)
+            return (p1 >> 16) + c2 + c1, lo
+
+        def mul_shift(sm1, v):
+            hi, lo = mul_size(sm1, v)
+            return (hi << shift_up) | (lo >> precision)
+
+        def fetch_chunk(chunks_read):
+            # src16 arrives as int32 (values <= 0xFFFF): Mosaic has no
+            # unsigned reductions.
+            k = jax.lax.broadcasted_iota(
+                jnp.int32, (block, nchunks), 1)
+            sel = k == chunks_read[:, None]
+            return bc(
+                jnp.sum(jnp.where(sel, src16_ref[:, :], 0), axis=1),
+                jnp.uint32)
+
+        blast = blast_ref[0, :]  # [nb] f32 bucket-last values
+        win17 = win_ref[:, :]    # [nb, 17] f32
+
+        c0 = fetch_chunk(jnp.zeros((block,), jnp.int32))
+        c1 = fetch_chunk(jnp.ones((block,), jnp.int32))
+        value0 = (c0 << 16) | c1
+
+        def step(t, carry):
+            base, sm1, value, chunks_read = carry
+            vb1 = (value - base) + 1
+            wrapped = vb1 == 0
+            lb_hi = jnp.where(
+                wrapped, jnp.uint32(1 << precision), vb1 >> shift_up)
+            lb_lo = vb1 << precision
+            lb_f = u2f(lb_hi) * jnp.float32(2.0**32) + u2f(lb_lo)
+            size_f = u2f(sm1) + 1.0
+            t0 = f2u(jnp.floor(lb_f / size_f))
+
+            def ok(c):
+                hi, lo = mul_size(sm1, c)
+                return (hi > lb_hi) | ((hi == lb_hi) & (lo >= lb_lo))
+
+            # Mosaic has no unsigned max; use where-selects.
+            tm1 = jnp.where(t0 > 1, t0, jnp.uint32(1)) - 1
+            thr = jnp.where(
+                ok(tm1), tm1,
+                jnp.where(ok(t0), t0,
+                          jnp.where(ok(t0 + 1), t0 + 1, t0 + 2)))
+            thr = jnp.where(thr > 1, thr, jnp.uint32(1))
+            t_f = u2f(thr)
+
+            full = blast[None, :] < t_f[:, None]  # [block, nb]
+            nfull = jnp.sum(b2f(full), axis=1).astype(jnp.int32)
+            bsel = jnp.minimum(nfull, nb - 1)
+            onehot = (jax.lax.broadcasted_iota(
+                jnp.int32, (block, nb), 1) == bsel[:, None]).astype(
+                    jnp.float32)
+            win = jnp.dot(onehot, win17,
+                          preferred_element_type=jnp.float32)  # [block, 17]
+
+            below = win < t_f[:, None]
+            fine = jnp.sum(b2f(below[:, 1:]), axis=1).astype(jnp.int32)
+            pv = jnp.minimum(16 * nfull + fine, max_pv)
+            c_lo = f2u(jnp.max(jnp.where(below, win, 0.0), axis=1))
+            c_hi = f2u(jnp.minimum(
+                jnp.min(jnp.where(below, jnp.float32(2**17), win), axis=1),
+                jnp.float32(2**16)))
+
+            a = mul_shift(sm1, c_lo)
+            b = mul_shift(sm1, c_hi) - 1
+            nbse = base + a
+            ns = b - a
+            renorm = (ns >> 16) == 0
+            new_base = jnp.where(renorm, nbse << 16, nbse)
+            new_sm1 = jnp.where(renorm, (ns << 16) | 0xFFFF, ns)
+            chunk = fetch_chunk(chunks_read)
+            new_value = jnp.where(renorm, (value << 16) | chunk, value)
+            new_chunks = chunks_read + jnp.where(renorm, 1, 0)
+
+            sym_ref[t, :] = pv - 1  # int32 output
+            return new_base, new_sm1, new_value, new_chunks
+
+        base, sm1, value, chunks_read = jax.lax.fori_loop(
+            0, num_symbols, step,
+            (jnp.zeros((block,), jnp.uint32),
+             jnp.full((block,), _MASK32, jnp.uint32),
+             value0,
+             jnp.full((block,), 2, jnp.int32)))
+
+        # Weak sanity (RangeDecoder::Finalize).  Computed in int32 (i1
+        # vector selects hit Mosaic truncation limits on 1-D shapes).
+        upper_end = base + sm1
+        straddle = upper_end < base
+        is24 = ((base - 1) >> 24) < (upper_end >> 24)
+        mid24 = (((base - 1) >> 24) + 1) << 24
+        mid16 = (((base - 1) >> 16) + 1) << 16
+        mid = jnp.where(is24, mid24, mid16)
+        ok_mid_i = jnp.where(mid == value, 1, 0)
+        zero_i = jnp.where(value == 0, 1, 0)
+        head_i = jnp.where((base == 0) | straddle, zero_i, ok_mid_i)
+        consumed_i = jnp.where(2 * chunks_read >= len_ref[0, :], 1, 0)
+        san_ref[0, :] = head_i * consumed_i
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def decode_scan_pallas(src16, byte_lens, num_symbols, precision, max_pv,
+                       bucket_last, win17, block=256):
+    """Single-row decode as a Pallas kernel.
+
+    Args:
+      src16: uint32 [S, C] chunk buffers.
+      byte_lens: int32 [S].
+      num_symbols / precision / max_pv: static ints.
+      bucket_last: static tuple of f32 bucket-last values.
+      win17: static tuple-of-tuples [nb][17] f32 window table.
+
+    Returns:
+      (symbols int32 [S, num_symbols], sanity bool [S]).
+    """
+    num_streams, nchunks = src16.shape
+    nb = len(bucket_last)
+    blast = jnp.asarray(bucket_last, jnp.float32)[None, :]
+    win = jnp.asarray(win17, jnp.float32)
+    kernel = _make_decode_kernel(num_symbols, precision, max_pv, nb)
+
+    grid = (num_streams // block,)
+    sym, san = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, nchunks), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 17), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((num_symbols, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_symbols, num_streams), jnp.int32),
+            jax.ShapeDtypeStruct((1, num_streams), jnp.int32),
+        ],
+    )(src16.astype(jnp.int32), byte_lens[None, :], blast, win)
+    return sym.T, san[0] != 0

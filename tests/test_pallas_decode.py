@@ -1,0 +1,43 @@
+"""Pallas decode kernel correctness (interpret mode; no TPU required)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from compression_tpu.codec import jax_coder, pallas_coder, tables
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pallas_coder.pl, "pallas_call", patched)
+
+
+def test_decode_kernel_matches_xla(interpret_pallas):
+    S, N = 256, 48
+    pmf = 1.0 / (1 + np.arange(32)) ** 1.1
+    pmf /= pmf.sum()
+    cdf = tables.pmf_to_quantized_cdf(pmf, 12)
+    t = tables.parse_ragged_cdf(tables.build_ragged_cdf([cdf], [12], [False]))
+    rng = np.random.RandomState(0)
+    sym = rng.choice(32, size=(S, N), p=pmf).astype(np.int32)
+    buf, lengths = jax_coder.encode_streams(sym, t)
+    src16 = jax_coder.bytes_to_chunks(buf, lengths)
+
+    blast, win17 = jax_coder._bucketize_row(
+        jnp.asarray(t.cdf[0], jnp.float32))
+    blast_t = tuple(float(x) for x in np.asarray(blast))
+    win_t = tuple(tuple(float(x) for x in row) for row in np.asarray(win17))
+
+    symbols, sane = pallas_coder.decode_scan_pallas(
+        jnp.asarray(src16), jnp.asarray(lengths), N, 12,
+        t.cdf.shape[1] - 1, blast_t, win_t)
+    np.testing.assert_array_equal(np.asarray(symbols), sym)
+    assert np.asarray(sane).all()
