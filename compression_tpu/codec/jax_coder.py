@@ -56,16 +56,38 @@ _MASK32 = (1 << 32) - 1
 
 
 class DeviceCdfTable:
-    """Dense CDF table as device arrays (rows padded to a rectangle)."""
+    """Dense CDF table as device arrays (rows padded to a rectangle).
 
-    def __init__(self, table: tables.CdfTable):
-        self.cdf = jnp.asarray(table.cdf.astype(np.uint32))
-        self.length = jnp.asarray(table.length.astype(np.int32))
-        self.precision = jnp.asarray(table.precision.astype(np.uint32))
-        self.overflow = jnp.asarray(table.overflow)
-        self.num_rows = int(table.num_rows)
-        self.max_len = int(table.max_len)
-        self.any_overflow = bool(np.any(table.overflow))
+    Registered as a jax pytree (arrays are leaves; the static row counts
+    are aux data) so it can cross jit boundaries as an argument.
+    """
+
+    def __init__(self, table: tables.CdfTable = None, *, _arrays=None,
+                 _aux=None):
+        if table is not None:
+            self.cdf = jnp.asarray(table.cdf.astype(np.uint32))
+            self.length = jnp.asarray(table.length.astype(np.int32))
+            self.precision = jnp.asarray(table.precision.astype(np.uint32))
+            self.overflow = jnp.asarray(table.overflow)
+            self.num_rows = int(table.num_rows)
+            self.max_len = int(table.max_len)
+            self.any_overflow = bool(np.any(table.overflow))
+        else:
+            self.cdf, self.length, self.precision, self.overflow = _arrays
+            self.num_rows, self.max_len, self.any_overflow = _aux
+
+
+def _dct_flatten(t):
+    return ((t.cdf, t.length, t.precision, t.overflow),
+            (t.num_rows, t.max_len, t.any_overflow))
+
+
+def _dct_unflatten(aux, arrays):
+    return DeviceCdfTable(_arrays=arrays, _aux=aux)
+
+
+jax.tree_util.register_pytree_node(
+    DeviceCdfTable, _dct_flatten, _dct_unflatten)
 
 
 def _mul_size(size_minus1, v):
@@ -768,10 +790,16 @@ def encode_streams(symbols, table, indexes=None) -> tuple[np.ndarray, np.ndarray
     num_steps = max(int(_round_up(max(int(total), 1), 64)), 64)
     out_size = _round_up(2 * num_steps + 2, 4)
 
-    ops = micro_ops_from_symbols(
-        jnp.asarray(symbols), jnp.asarray(indexes), table, slots, num_steps)
-    buf, lengths = encode_core(*ops, out_size)
+    buf, lengths = _encode_streams_jit(
+        jnp.asarray(symbols), jnp.asarray(indexes), table, slots,
+        num_steps, out_size)
     return np.asarray(buf), np.asarray(lengths)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _encode_streams_jit(symbols, indexes, table, slots, num_steps, out_size):
+    ops = micro_ops_from_symbols(symbols, indexes, table, slots, num_steps)
+    return encode_core(*ops, out_size)
 
 
 def bytes_to_chunks(byte_buf, byte_lens=None):

@@ -177,20 +177,16 @@ def _make_decode_kernel(num_symbols, precision, max_pv, nb):
         block = src16_ref.shape[0]
         nchunks = src16_ref.shape[1]
 
-        def bc(x, dt):
-            # Mosaic only implements 2-D bitcasts; use a lane-aligned
-            # (sublane, 128) bounce shape.
-            return pltpu.bitcast(x.reshape(-1, 128), dt).reshape(x.shape)
-
         def u2f(x):
-            # Mosaic has no u32->f32 cast; split at bit 31 and go via i32.
-            lo = bc(x & 0x7FFFFFFF, jnp.int32).astype(jnp.float32)
-            top = bc(x >> 31, jnp.int32).astype(jnp.float32)
-            return top * jnp.float32(2147483648.0) + lo
+            # Mosaic has no u32->f32 cast; split into 16-bit halves that
+            # fit int32 (u32<->i32 astype is supported).
+            hi = (x >> 16).astype(jnp.int32).astype(jnp.float32)
+            lo = (x & 0xFFFF).astype(jnp.int32).astype(jnp.float32)
+            return hi * jnp.float32(65536.0) + lo
 
         def f2u(f):
             # Exact for 0 <= f < 2**31 (we only convert small thresholds).
-            return bc(f.astype(jnp.int32), jnp.uint32)
+            return f.astype(jnp.int32).astype(jnp.uint32)
 
         def b2f(b):
             return jnp.where(b, jnp.float32(1.0), jnp.float32(0.0))
@@ -217,9 +213,9 @@ def _make_decode_kernel(num_symbols, precision, max_pv, nb):
             k = jax.lax.broadcasted_iota(
                 jnp.int32, (block, nchunks), 1)
             sel = k == chunks_read[:, None]
-            return bc(
-                jnp.sum(jnp.where(sel, src16_ref[:, :], 0), axis=1),
-                jnp.uint32)
+            return jnp.sum(
+                jnp.where(sel, src16_ref[:, :], 0), axis=1).astype(
+                    jnp.uint32)
 
         blast = blast_ref[0, :]  # [nb] f32 bucket-last values
         win17 = win_ref[:, :]    # [nb, 17] f32
