@@ -119,8 +119,13 @@ class ContinuousEntropyModelBase:
         """Dense device-side CDF table for the TPU kernels."""
         self._check_compression()
         if self._device_table is None:
-            self._device_table = jax_coder.DeviceCdfTable(
-                tables.parse_ragged_cdf(self._cdf))
+            # The table is built from concrete numpy and cached on self;
+            # ensure_compile_time_eval keeps the arrays concrete even when
+            # the first access happens inside a jit trace (otherwise
+            # tracers would leak into the cache).
+            with jax.ensure_compile_time_eval():
+                self._device_table = jax_coder.DeviceCdfTable(
+                    tables.parse_ragged_cdf(self._cdf))
         return self._device_table
 
     def _init_compression(self, cdf, cdf_offset, cdf_shapes):

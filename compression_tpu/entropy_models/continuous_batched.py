@@ -250,6 +250,66 @@ class ContinuousBatchedEntropyModel(continuous_base.ContinuousEntropyModelBase):
             outputs = outputs + offset
         return outputs
 
+    def compress_device(self, bottleneck, max_gamma_bits=16):
+        """Fully traced compress: runs inside jit, end to end on device.
+
+        Unlike `compress` (which sizes the micro-op budget from the data on
+        the host), the traced path reserves a static budget of
+        ``2*max_gamma_bits + 3`` micro-ops for every symbol that escapes to
+        Elias-gamma coding; values beyond ``+-2**max_gamma_bits`` of the
+        table range would be coded incorrectly (the host path has no such
+        limit).  With the default 16, escapes cover the entire int16-ish
+        overflow range used in practice.
+
+        Returns:
+          (bytes [S, L] uint8, lengths [S] int32) as device arrays.
+        """
+        self._check_compression()
+        from compression_tpu.codec.jax_coder import (
+            _encode_streams_jit,
+            _round_up,
+        )
+
+        bottleneck = jnp.asarray(bottleneck, self.bottleneck_dtype)
+        symbols, batch_shape = self._symbols_from_bottleneck(bottleneck)
+        num_streams, n = symbols.shape
+        num_rows = int(self.cdf_offset.shape[0])
+        indexes = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32) % num_rows, (num_streams, n))
+        table = self.device_table
+        if table.any_overflow:
+            slots = 2 * int(max_gamma_bits) + 3
+            # Static budget: up to 64 escaping symbols per stream (plus the
+            # base ops).  `ok` reports whether the data actually fit.
+            num_steps = _round_up(n + 64 * slots, 64)
+            len_r = table.length[indexes]
+            mv = len_r - 2
+            ovf_r = table.overflow[indexes]
+            sign = ovf_r & (symbols < 0)
+            over = ovf_r & ~sign & (symbols >= mv)
+            escape = sign | over
+            gamma = jnp.where(
+                sign, -symbols,
+                jnp.where(over, symbols - mv + 1, 1)).astype(jnp.uint32)
+            count = jnp.where(
+                escape,
+                3 + 2 * jnp.ceil(
+                    jnp.log2(gamma.astype(jnp.float32) + 1)).astype(
+                        jnp.int32),
+                1)
+            ok = (jnp.max(jnp.sum(count, axis=1)) <= num_steps) & (
+                jnp.max(jnp.where(escape, gamma, 0))
+                < jnp.uint32(1 << max_gamma_bits))
+        else:
+            slots = 1
+            num_steps = _round_up(max(n, 1), 64)
+            ok = jnp.asarray(True)
+        out_size = _round_up(2 * num_steps + 2, 4)
+        buf, lengths = _encode_streams_jit(
+            symbols, indexes, table, slots, num_steps, out_size)
+        return (buf.reshape(batch_shape + buf.shape[-1:]),
+                lengths.reshape(batch_shape), ok)
+
     def decompress_device(self, src16, byte_lens, broadcast_shape):
         """Fully traced decompress: runs inside jit, end to end on device.
 

@@ -158,3 +158,39 @@ class TestSerialization:
         x = jnp.array([[0.0, 100.0]])  # far outlier
         _, bits = em(x, training=False)
         assert np.all(np.isfinite(np.asarray(bits)))
+
+
+class TestDeviceCompress:
+    def test_traced_compress_matches_host(self):
+        prior = d.NoisyNormal(loc=0.0, scale=jnp.asarray([0.5, 1.5]))
+        em = ContinuousBatchedEntropyModel(
+            prior=prior, coding_rank=2, compression=True)
+        x = 1.5 * jax.random.normal(jax.random.PRNGKey(0), (4, 30, 2))
+
+        compress_jit = jax.jit(em.compress_device)
+        buf_d, len_d, ok = compress_jit(x)
+        assert bool(ok)
+        from compression_tpu.codec import jax_coder
+        got = jax_coder.to_bytes_list(
+            np.asarray(buf_d).reshape(4, -1), np.asarray(len_d).reshape(-1))
+        expected = em.compress_to_strings(x)
+        assert got == expected
+
+    def test_traced_roundtrip_with_escape(self):
+        prior = d.NoisyNormal(loc=0.0, scale=0.5)
+        em = ContinuousBatchedEntropyModel(
+            prior=prior, coding_rank=1, compression=True)
+        # Outliers force escape coding but stay within the gamma budget.
+        x = jnp.concatenate(
+            [jnp.zeros((2, 18)), jnp.full((2, 2), 40.0)], axis=1)
+        buf_d, len_d, ok = jax.jit(em.compress_device)(x)
+        assert bool(ok)
+        from compression_tpu.codec import jax_coder
+        src16 = jnp.asarray(jax_coder.bytes_to_chunks(
+            np.asarray(buf_d), np.asarray(len_d)))
+        out, sanity = jax.jit(
+            lambda s, l: em.decompress_device(s, l, (20,)))(
+                src16, jnp.asarray(len_d))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(em.quantize(x)), atol=1e-5)
+        assert np.asarray(sanity).all()
