@@ -37,7 +37,7 @@ FALLBACK_BASELINE_SYMBOLS_PER_S = 35.0e6
 # Many short interleaved streams: the TPU-native regime (VPU lanes saturated)
 # and a compile-bounded graph (the remote XLA compile in this environment
 # scales badly with scan length).
-NUM_STREAMS = 16384
+NUM_STREAMS = 32768
 NUM_ELEMENTS = 512
 PRECISION = 12
 ALPHABET = 256

@@ -8,7 +8,11 @@ The dither level becomes an extra leading index dimension of the CDF table
 (num_noise_levels rows per prior row).
 
 Note: the dither stream is deterministic given the element positions, so
-compress/decompress stay in sync without transmitting it.
+compress/decompress stay in sync without transmitting it.  The stream is
+the EXACT Philox4x32-10 sequence of ``tf.random.stateless_uniform`` with
+seed (1234, 1234) (util/philox.py, verified bit-exact against TF), so
+dither levels — and therefore compressed bytes — agree with the reference
+implementation for identical call shapes.
 """
 
 from __future__ import annotations
@@ -22,6 +26,7 @@ import numpy as np
 from compression_tpu.codec import jax_coder
 from compression_tpu.entropy_models import continuous_base
 from compression_tpu.ops import math_ops
+from compression_tpu.util import philox
 
 __all__ = [
     "UniversalBatchedEntropyModel",
@@ -31,11 +36,20 @@ __all__ = [
 _DITHER_KEY = (1234, 1234)
 
 
+@functools.lru_cache(maxsize=64)
+def _offset_indexes_np(shape, num_noise_levels):
+    return philox.stateless_uniform_int32(
+        shape, _DITHER_KEY, 0, num_noise_levels)
+
+
 def _offset_indexes(shape, num_noise_levels):
-    """Deterministic pseudo-random dither level per element position."""
-    key = jax.random.PRNGKey(_DITHER_KEY[0])
-    return jax.random.randint(
-        key, shape, minval=0, maxval=num_noise_levels, dtype=jnp.int32)
+    """Deterministic pseudo-random dither level per element position.
+
+    Counter-based (Philox), so the whole array is generated in one
+    vectorized host pass and becomes a compile-time constant under jit.
+    """
+    shape = tuple(int(s) for s in shape)
+    return jnp.asarray(_offset_indexes_np(shape, num_noise_levels))
 
 
 def _offset_indexes_to_offset(offset_indexes, num_noise_levels, dtype):

@@ -74,3 +74,25 @@ for trial in range(300):
         import jax
         jax.clear_caches()
 print(f"fuzz done: {cases} cases, {fails} failures")
+
+
+def fuzz_philox(trials=200):
+    """Fuzz util/philox.py against live tf.random.stateless_uniform."""
+    import tensorflow as tf
+    from compression_tpu.util import philox
+    rng = np.random.RandomState(99)
+    fails = 0
+    for t in range(trials):
+        n = int(rng.randint(1, 5000))
+        seed = (int(rng.randint(-2**31, 2**31)), int(rng.randint(-2**31, 2**31)))
+        lo = int(rng.randint(-100, 100))
+        hi = lo + int(rng.randint(1, 1000))
+        mine = philox.stateless_uniform_int32((n,), seed, lo, hi)
+        ref = tf.random.stateless_uniform(
+            (n,), seed=seed, minval=lo, maxval=hi, dtype=tf.int32).numpy()
+        if not np.array_equal(mine, ref):
+            fails += 1
+            print(f"PHILOX FAIL n={n} seed={seed} lo={lo} hi={hi}")
+            if fails >= 3:
+                break
+    print(f"philox fuzz done: {trials} cases, {fails} failures")

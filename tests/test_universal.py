@@ -83,3 +83,39 @@ class TestUniversalIndexed:
         xp, _ = em(jnp.asarray(x), jnp.asarray(idx), training=False)
         np.testing.assert_allclose(
             np.asarray(decoded), np.asarray(xp), atol=1e-5)
+
+
+class TestPhiloxParity:
+    """The dither stream must be bit-exact with tf.random.stateless_uniform
+    (reference universal.py:34-40) so both implementations pick the same
+    dither levels.  Goldens below were captured from the in-image TF 2.21;
+    tests/golden/fuzz_parity.py re-verifies against live TF."""
+
+    def test_dither_seed_goldens(self):
+        from compression_tpu.util import philox
+        got = philox.stateless_uniform_int32((24,), (1234, 1234), 0, 15)
+        np.testing.assert_array_equal(
+            got, [5, 13, 11, 12, 1, 7, 1, 7, 1, 4, 1, 2, 2, 8, 11, 8,
+                  11, 11, 5, 1, 5, 2, 12, 14])
+        got = philox.stateless_uniform_int32((24,), (1234, 1234), 0, 5)
+        np.testing.assert_array_equal(
+            got, [0, 3, 1, 2, 1, 2, 1, 2, 1, 4, 1, 2, 2, 3, 1, 3,
+                  1, 1, 0, 1, 0, 2, 2, 4])
+        got = philox.stateless_uniform_int32((10,), (77, -3), -4, 11)
+        np.testing.assert_array_equal(
+            got, [8, -4, 1, 0, 3, -3, 4, -3, 3, 2])
+
+    def test_shape_invariance(self):
+        # Same stream regardless of how the count is shaped (row-major).
+        from compression_tpu.util import philox
+        a = philox.stateless_uniform_int32((30,), (1234, 1234), 0, 15)
+        b = philox.stateless_uniform_int32((5, 6), (1234, 1234), 0, 15)
+        np.testing.assert_array_equal(a.reshape(5, 6), b)
+
+    def test_em_uses_philox_stream(self):
+        from compression_tpu.entropy_models import universal
+        from compression_tpu.util import philox
+        got = universal._offset_indexes((3, 7), 15)
+        np.testing.assert_array_equal(
+            np.asarray(got),
+            philox.stateless_uniform_int32((3, 7), (1234, 1234), 0, 15))
