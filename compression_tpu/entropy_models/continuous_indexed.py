@@ -217,6 +217,67 @@ class ContinuousIndexedEntropyModel(continuous_base.ContinuousEntropyModelBase):
             symbols.reshape(out_shape), self.bottleneck_dtype)
 
 
+    def compress_device(self, bottleneck, indexes, max_gamma_bits=16):
+        """Fully traced indexed compress: runs inside jit, end to end.
+
+        Same static escape budget contract as
+        ContinuousBatchedEntropyModel.compress_device: up to 64 escaping
+        symbols per stream, each within ``+-2**max_gamma_bits`` of the
+        table range; the returned ``ok`` reports whether the data fit.
+
+        Returns:
+          (bytes [batch..., L] uint8, lengths [batch...] int32, ok bool).
+        """
+        self._check_compression()
+        from compression_tpu.codec.jax_coder import (
+            _encode_streams_jit,
+            _round_up,
+        )
+
+        bottleneck = jnp.asarray(bottleneck, self.bottleneck_dtype)
+        indexes = self._normalize_indexes(
+            jnp.asarray(indexes, self.prior_dtype))
+        flat_indexes = self._flatten_indexes(indexes)
+        batch_shape = flat_indexes.shape[
+            : flat_indexes.ndim - self.coding_rank]
+        num_streams = int(np.prod(batch_shape)) if batch_shape else 1
+        symbols = jnp.round(bottleneck).astype(jnp.int32)
+        symbols = symbols - jnp.asarray(self.cdf_offset)[flat_indexes]
+        symbols = symbols.reshape(num_streams, -1)
+        idx2 = flat_indexes.reshape(num_streams, -1)
+        n = symbols.shape[1]
+        table = self.device_table
+        if table.any_overflow:
+            slots = 2 * int(max_gamma_bits) + 3
+            num_steps = _round_up(n + 64 * slots, 64)
+            len_r = table.length[idx2]
+            mv = len_r - 2
+            ovf_r = table.overflow[idx2]
+            sign = ovf_r & (symbols < 0)
+            over = ovf_r & ~sign & (symbols >= mv)
+            escape = sign | over
+            gamma = jnp.where(
+                sign, -symbols,
+                jnp.where(over, symbols - mv + 1, 1)).astype(jnp.uint32)
+            count = jnp.where(
+                escape,
+                3 + 2 * jnp.ceil(
+                    jnp.log2(gamma.astype(jnp.float32) + 1)).astype(
+                        jnp.int32),
+                1)
+            ok = (jnp.max(jnp.sum(count, axis=1)) <= num_steps) & (
+                jnp.max(jnp.where(escape, gamma, 0))
+                < jnp.uint32(1 << max_gamma_bits))
+        else:
+            slots = 1
+            num_steps = _round_up(max(n, 1), 64)
+            ok = jnp.asarray(True)
+        out_size = _round_up(2 * num_steps + 2, 4)
+        buf, lengths = _encode_streams_jit(
+            symbols, idx2, table, slots, num_steps, out_size)
+        return (buf.reshape(batch_shape + buf.shape[-1:]),
+                lengths.reshape(batch_shape), ok)
+
     def decompress_device(self, src16, byte_lens, indexes):
         """Fully traced indexed decompress (runs inside jit on device)."""
         self._check_compression()
@@ -303,6 +364,14 @@ class LocationScaleIndexedEntropyModel(ContinuousIndexedEntropyModel):
         if loc is not None:
             values = values + loc
         return values
+
+    def compress_device(self, bottleneck, scale_indexes, loc=None,
+                        max_gamma_bits=16):
+        """Fully traced loc/scale compress (runs inside jit on device)."""
+        if loc is not None:
+            bottleneck = bottleneck - loc
+        return super().compress_device(
+            bottleneck, scale_indexes, max_gamma_bits=max_gamma_bits)
 
     def decompress_device(self, src16, byte_lens, scale_indexes, loc=None):
         """Fully traced loc/scale decompress (runs inside jit on device)."""

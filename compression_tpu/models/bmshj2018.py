@@ -318,3 +318,57 @@ def _codec_device_decode(codec, container):
 
 
 BMSHJ2018Codec.decompress_on_device = _codec_device_decode
+
+
+def _codec_device_compress(codec, x):
+    """Single-jit compress for BMSHJ2018Codec: analysis, hyper analysis,
+    both entropy encoders and the hyper synthesis all inside one compiled
+    program.  Returns .tfci container bytes; byte-identical to compress()."""
+    import jax.numpy as jnp_
+
+    from compression_tpu.codec import jax_coder as jc
+
+    x = jnp_.asarray(x, jnp_.float32)[None]
+    if not hasattr(codec, "_device_encoders"):
+        codec._device_encoders = {}
+    key = x.shape
+    cached = codec._device_encoders.get(key)
+    if cached is None:
+        y_aval, z_aval = jax.eval_shape(
+            lambda p, x: codec.model.apply(
+                p, x, method=BMSHJ2018Model.encode), codec.params, x)
+        y_shape = y_aval.shape[1:-1]
+        z_shape = z_aval.shape[1:-1]
+
+        def encode_all(params, x):
+            y, z = codec.model.apply(
+                params, x, method=BMSHJ2018Model.encode)
+            z_buf, z_lens, z_ok = codec.side_em.compress_device(z)
+            z_hat = codec.side_em.quantize(z)
+            indexes = codec.model.apply(
+                params, z_hat, method=BMSHJ2018Model.hyper_decode)
+            indexes = indexes[:, : y.shape[1], : y.shape[2], :]
+            y_buf, y_lens, y_ok = codec.em.compress_device(y, indexes)
+            return y_buf, y_lens, z_buf, z_lens, y_ok & z_ok
+
+        cached = (jax.jit(encode_all), y_shape, z_shape)
+        codec._device_encoders[key] = cached
+    fn, y_shape, z_shape = cached
+    y_buf, y_lens, z_buf, z_lens, ok = fn(codec.params, x)
+    if not bool(ok):
+        # Escape budget exceeded (extreme outliers): host path fallback.
+        return codec.compress(np.asarray(x)[0].astype(np.uint8))
+    strings = jc.to_bytes_list(
+        np.asarray(y_buf).reshape(1, -1), np.asarray(y_lens).reshape(-1))
+    side_strings = jc.to_bytes_list(
+        np.asarray(z_buf).reshape(1, -1), np.asarray(z_lens).reshape(-1))
+    packed = PackedTensors()
+    packed.model = codec.MODEL_ID
+    packed.pack([strings, side_strings,
+                 np.asarray(x.shape[1:-1], np.int32),
+                 np.asarray(y_shape, np.int32),
+                 np.asarray(z_shape, np.int32)])
+    return packed.string
+
+
+BMSHJ2018Codec.compress_on_device = _codec_device_compress

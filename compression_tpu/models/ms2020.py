@@ -178,6 +178,13 @@ class MS2020Model(nn.Module):
         return y_hat_slices[: self.max_support_slices]
 
     def _slice_params(self, transform, latent, support_slices, y_shape):
+        # Crop the hyper-synthesis output to the latent extent BEFORE
+        # concatenating with (already cropped) support slices.  The
+        # reference (models/ms2020.py:244-263) concatenates uncropped and
+        # only crops mu/sigma afterwards, which fails unless the hyper
+        # upsample exactly matches the y shape (inputs divisible by 64).
+        # Cropping first is an identity there and makes other sizes work.
+        latent = latent[:, : y_shape[0], : y_shape[1], :]
         support = jnp.concatenate([latent] + support_slices, axis=-1)
         out = transform(support)
         return out[:, : y_shape[0], : y_shape[1], :], support
@@ -313,6 +320,7 @@ class MS2020Codec:
                 p, i, ms, yh, method=MS2020Model.lrp),
             static_argnums=(1,))
         self._device_decoders = {}
+        self._device_encoders = {}
 
     def compress(self, x) -> bytes:
         x = jnp.asarray(x, jnp.float32)[None]
@@ -348,6 +356,75 @@ class MS2020Codec:
             [x_shape, y_shape, z_shape, z_strings]
             + [[s] for s in y_strings])
         return packed.string
+
+    def compress_on_device(self, x) -> bytes:
+        """Single-jit compress: analysis, hyper coding, all slice
+        conditioning and range encoding in ONE compiled program; only the
+        container pack runs on the host.  Byte-identical to compress()."""
+        from compression_tpu.codec import jax_coder as jc
+
+        x = jnp.asarray(x, jnp.float32)[None]
+        cached = self._device_encoders.get(x.shape)
+        if cached is None:
+            y_aval, z_aval = jax.eval_shape(
+                lambda p, x: self.model.apply(
+                    p, x, method=MS2020Model.encode), self.params, x)
+            y_shape = y_aval.shape[1:-1]
+            z_shape = z_aval.shape[1:-1]
+            cached = (self._build_device_encoder(y_shape), y_shape, z_shape)
+            self._device_encoders[x.shape] = cached
+        fn, y_shape, z_shape = cached
+        z_buf, z_lens, y_bufs, y_lens, ok = fn(self.params, x)
+        if not bool(ok):
+            # Escape budget exceeded (extreme outliers): host fallback.
+            return self.compress(np.asarray(x)[0].astype(np.uint8))
+        z_strings = jc.to_bytes_list(
+            np.asarray(z_buf).reshape(1, -1), np.asarray(z_lens).reshape(-1))
+        y_strings = jc.to_bytes_list(np.asarray(y_bufs), np.asarray(y_lens))
+        packed = PackedTensors()
+        packed.model = self.MODEL_ID
+        packed.pack(
+            [np.asarray(x.shape[1:-1], np.int32),
+             np.asarray(y_shape, np.int32),
+             np.asarray(z_shape, np.int32), z_strings]
+            + [[s] for s in y_strings])
+        return packed.string
+
+    def _build_device_encoder(self, y_shape):
+        model, em_z, em_y = self.model, self.em_z, self.em_y
+        num_slices = model.num_slices
+
+        def encode_all(params, x):
+            y, z = model.apply(params, x, method=MS2020Model.encode)
+            z_buf, z_lens, ok = em_z.compress_device(z)
+            z_hat = em_z.quantize(z)
+            latent_scales, latent_means = model.apply(
+                params, z_hat, method=MS2020Model.hyper_decode)
+            y_slices = jnp.split(y, num_slices, axis=-1)
+            y_hat_slices = []
+            y_bufs = []
+            y_lens = []
+            for i, y_slice in enumerate(y_slices):
+                support = (y_hat_slices if model.max_support_slices < 0
+                           else y_hat_slices[: model.max_support_slices])
+                mu, sigma, mean_support = model.apply(
+                    params, i, latent_means, latent_scales, tuple(support),
+                    y_shape, method=MS2020Model.slice_params)
+                buf_i, len_i, ok_i = em_y.compress_device(
+                    y_slice, sigma, loc=mu)
+                ok = ok & ok_i
+                y_bufs.append(buf_i.reshape(1, -1))
+                y_lens.append(len_i.reshape(1))
+                y_hat_slice = em_y.quantize(y_slice, mu)
+                y_hat_slice = y_hat_slice + model.apply(
+                    params, i, mean_support, y_hat_slice,
+                    method=MS2020Model.lrp)
+                y_hat_slices.append(y_hat_slice)
+            return (z_buf.reshape(1, -1), z_lens.reshape(1),
+                    jnp.concatenate(y_bufs, axis=0),
+                    jnp.concatenate(y_lens, axis=0), ok)
+
+        return jax.jit(encode_all)
 
     def decompress_on_device(self, container: bytes) -> np.ndarray:
         """Single-jit decode: hyper decode, all 10 autoregressive slices,

@@ -139,3 +139,47 @@ class TestLocationScale:
         # Quantized modulo loc.
         np.testing.assert_allclose(
             np.asarray(xp - loc), np.round(np.asarray(xp - loc)), atol=1e-5)
+
+
+class TestIndexedDeviceCompress:
+    def test_traced_compress_matches_host(self):
+        import jax
+        from compression_tpu.codec import jax_coder
+        em = ContinuousIndexedEntropyModel(
+            prior_fn=d.NoisyNormal,
+            index_ranges=(8,),
+            parameter_fns=dict(
+                loc=lambda _: 0.0,
+                scale=lambda i: jnp.exp(-1.0 + 0.5 * i[..., 0])),
+            coding_rank=1, channel_axis=-1, compression=True)
+        rng = np.random.RandomState(7)
+        idx = rng.randint(0, 8, size=(4, 30, 1)).astype(np.float32)
+        x = rng.normal(0, 2.0, size=(4, 30)).astype(np.float32)
+        buf_d, len_d, ok = jax.jit(em.compress_device)(x, idx)
+        assert bool(ok)
+        got = jax_coder.to_bytes_list(
+            np.asarray(buf_d).reshape(4, -1), np.asarray(len_d).reshape(-1))
+        expected = em.compress_to_strings(x, idx)
+        assert got == expected
+
+    def test_traced_roundtrip_location_scale(self):
+        import jax
+        from compression_tpu.codec import jax_coder
+        em = LocationScaleIndexedEntropyModel(
+            prior_fn=d.NoisyNormal, num_scales=16,
+            scale_fn=lambda i: jnp.exp(-2.0 + 0.3 * i),
+            coding_rank=1, compression=True)
+        rng = np.random.RandomState(8)
+        idx = rng.randint(0, 16, size=(3, 25)).astype(np.float32)
+        loc = rng.normal(0, 0.5, size=(3, 25)).astype(np.float32)
+        x = rng.normal(0, 1.0, size=(3, 25)).astype(np.float32) + loc
+        buf_d, len_d, ok = jax.jit(em.compress_device)(x, idx, loc)
+        assert bool(ok)
+        src16 = jnp.asarray(jax_coder.bytes_to_chunks(
+            np.asarray(buf_d), np.asarray(len_d)))
+        out, sanity = jax.jit(
+            lambda s, l, i, lo: em.decompress_device(s, l, i, lo))(
+                src16, jnp.asarray(len_d), jnp.asarray(idx), jnp.asarray(loc))
+        assert np.asarray(sanity).all()
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(em.quantize(x, loc)), atol=1e-5)
