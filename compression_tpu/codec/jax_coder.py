@@ -294,37 +294,67 @@ def _cdf_pair_lookup(table: "DeviceCdfTable", rows, vq):
     """(cdf[row, vq], cdf[row, vq+1]) for every element, without gathers.
 
     TPU has no per-lane vector gather, so dynamic indexing lowers to a
-    serialized loop; instead the lookup is a blocked one-hot matmul on the
-    MXU (CDF values <= 2**16 are exact in f32).  Falls back to a plain
-    gather for very large tables where the one-hot would not pay off.
+    serialized loop; instead the lookup is a two-level one-hot matmul on
+    the MXU (CDF values <= 2**16 are exact in f32, but only with
+    Precision.HIGHEST — the default bf16 matmul truncates them):
+
+      1. the flat table is pre-tiled into 17-wide overlapping windows
+         ``win17[b] = flat[16b : 16b+17]``, and each lane pulls its window
+         with a one-hot over the ~K/16 buckets (16x fewer compares than a
+         one-hot over all K entries);
+      2. positions ``vq & 15`` and ``(vq & 15) + 1`` of the 17-window give
+         the pair via two masked sums (the +1 never leaves the window).
+
+    Falls back to a plain gather for very large tables where even the
+    bucketed one-hot would not pay off.
     """
     shape = rows.shape
     k_size = table.num_rows * table.max_len
     flat_cdf = table.cdf.reshape(-1)
     flat_idx = (rows * table.max_len + vq).reshape(-1)
-    if k_size > 4096:
+    if k_size > 65536:
         return (flat_cdf[flat_idx].reshape(shape),
                 flat_cdf[flat_idx + 1].reshape(shape))
 
-    flat_f = flat_cdf.astype(jnp.float32)
-    nxt = jnp.concatenate([flat_f[1:], flat_f[-1:]])
-    pair = jnp.stack([flat_f, nxt], axis=1)  # [K, 2]
+    nb = -(-k_size // 16)
 
-    block = 8192
+    def windows(vals_u32):
+        padded = jnp.pad(vals_u32, (0, 16 * nb + 1 - k_size))
+        return jnp.concatenate(
+            [padded[: 16 * nb].reshape(nb, 16), padded[16::16][:, None]],
+            axis=1)  # [nb, 17]
+
+    # hi/lo byte planes: each <= 256 is EXACT in bf16, so two
+    # default-precision (single-pass) MXU dots replace one 6-pass
+    # HIGHEST f32 dot.  A one-hot row selects a single product, and the
+    # f32 accumulation of one exact product is exact.
+    win_hi = windows(flat_cdf >> 8).astype(jnp.bfloat16)
+    win_lo = windows(flat_cdf & 0xFF).astype(jnp.bfloat16)
+
+    # Block the lane axis so the transient one-hot and window stay in
+    # VMEM (an unblocked whole-array formulation was measured 1.5x
+    # slower: the [m, nb] one-hot and [m, 17] window transit HBM).
+    block = min(131072, max(8192, (1 << 22) // nb))
     m = flat_idx.shape[0]
     pad = (-m) % block
     idx_p = jnp.pad(flat_idx, (0, pad)).reshape(-1, block)
+    j17 = jnp.arange(17, dtype=jnp.int32)
 
     def chunk(ic):
-        onehot = jax.nn.one_hot(ic, k_size, dtype=jnp.float32)
-        # HIGHEST: TPU's default matmul precision is bf16 and would
-        # truncate CDF values; highest (multi-pass) is exact for <= 2**16.
-        return jnp.dot(onehot, pair, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        b = ic >> 4
+        r = (ic & 15)[:, None]
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (ic.shape[0], nb), 1)
+                  == b[:, None]).astype(jnp.bfloat16)
+        hi = jnp.dot(onehot, win_hi, preferred_element_type=jnp.float32)
+        lo = jnp.dot(onehot, win_lo, preferred_element_type=jnp.float32)
+        win = hi * 256.0 + lo  # [block, 17], exact (<= 2**16)
+        c_lo = jnp.sum(jnp.where(j17[None, :] == r, win, 0.0), axis=1)
+        c_hi = jnp.sum(jnp.where(j17[None, :] == r + 1, win, 0.0), axis=1)
+        return c_lo, c_hi
 
-    out = jax.lax.map(chunk, idx_p).reshape(-1, 2)[:m]
-    c_lo = out[:, 0].astype(jnp.uint32).reshape(shape)
-    c_hi = out[:, 1].astype(jnp.uint32).reshape(shape)
+    lo, hi = jax.lax.map(chunk, idx_p)
+    c_lo = lo.reshape(-1)[:m].astype(jnp.uint32).reshape(shape)
+    c_hi = hi.reshape(-1)[:m].astype(jnp.uint32).reshape(shape)
     return c_lo, c_hi
 
 
@@ -349,26 +379,47 @@ def micro_ops_from_symbols(symbols, indexes, table: DeviceCdfTable,
     """
     num_streams, n = symbols.shape
     rows = indexes
+
+    if slots_per_symbol == 1 and not table.any_overflow:
+        # No overflow rows at all: skip the escape/gamma machinery.  Work
+        # directly in the scan's [N, S] layout (transpose the two inputs
+        # instead of the four outputs) and, for single-row tables, read
+        # the row metadata as broadcast scalars instead of [S, N] gathers
+        # (XLA serializes per-lane gathers on TPU even from tiny tables).
+        vT = symbols.T  # [N, S]
+        rowsT = rows.T
+        if table.num_rows == 1:
+            len_rT = jnp.broadcast_to(table.length[0], vT.shape)
+            prec_rT = jnp.broadcast_to(table.precision[0], vT.shape)
+        else:
+            len_rT = table.length[rowsT]
+            prec_rT = table.precision[rowsT]
+        vq = jnp.clip(vT, 0, len_rT - 2)
+        c_lo, c_hi = _cdf_pair_lookup(table, rowsT, vq)
+        pad = num_steps - n
+        def pad_t(x, fill):
+            x = jnp.asarray(x, jnp.uint32)
+            return jnp.pad(x, ((0, pad), (0, 0)), constant_values=fill)
+        mask_c = jnp.concatenate(
+            [jnp.ones((n, num_streams), bool),
+             jnp.zeros((pad, num_streams), bool)], axis=0)
+        return (pad_t(c_lo, 0), pad_t(c_hi, 1), pad_t(prec_rT, 1), mask_c)
+
     prec_r = table.precision[rows]  # [S, N] uint32
     len_r = table.length[rows]  # [S, N] int32
     v = symbols
 
-    if slots_per_symbol == 1 and not table.any_overflow:
-        # No overflow rows at all: skip the escape/gamma machinery.
-        vq = jnp.clip(v, 0, len_r - 2)
-        c_lo, c_hi = _cdf_pair_lookup(table, rows, vq)
-    else:
-        ovf_r = table.overflow[rows]
-        mv = len_r - 2  # escape symbol index for overflow rows
-        sign = ovf_r & (v < 0)
-        over = ovf_r & ~sign & (v >= mv)
-        escape = sign | over
-        vq = jnp.where(
-            escape, mv, jnp.where(ovf_r, v, jnp.clip(v, 0, len_r - 2)))
-        gamma = jnp.where(
-            sign, -v, jnp.where(over, v - mv + 1, 1)).astype(jnp.uint32)
-        nbits = _floor_log2(jnp.maximum(gamma, 1))  # n_top
-        c_lo, c_hi = _cdf_pair_lookup(table, rows, vq)
+    ovf_r = table.overflow[rows]
+    mv = len_r - 2  # escape symbol index for overflow rows
+    sign = ovf_r & (v < 0)
+    over = ovf_r & ~sign & (v >= mv)
+    escape = sign | over
+    vq = jnp.where(
+        escape, mv, jnp.where(ovf_r, v, jnp.clip(v, 0, len_r - 2)))
+    gamma = jnp.where(
+        sign, -v, jnp.where(over, v - mv + 1, 1)).astype(jnp.uint32)
+    nbits = _floor_log2(jnp.maximum(gamma, 1))  # n_top
+    c_lo, c_hi = _cdf_pair_lookup(table, rows, vq)
 
     if slots_per_symbol == 1:
         # Fast path: no escapes anywhere -> one op per symbol, identity
