@@ -324,6 +324,11 @@ def _cdf_pair_lookup(table: "DeviceCdfTable", rows, vq):
             [padded[: 16 * nb].reshape(nb, 16), padded[16::16][:, None]],
             axis=1)  # [nb, 17]
 
+    m = flat_idx.shape[0]
+    # (A Mosaic kernel variant exists — pallas_coder.pair_lookup_pallas,
+    # correctness-verified on TPU — but measured no faster than this XLA
+    # formulation: the prep stage is not lookup-compute-bound.)
+
     # hi/lo byte planes: each <= 256 is EXACT in bf16, so two
     # default-precision (single-pass) MXU dots replace one 6-pass
     # HIGHEST f32 dot.  A one-hot row selects a single product, and the
@@ -335,7 +340,6 @@ def _cdf_pair_lookup(table: "DeviceCdfTable", rows, vq):
     # VMEM (an unblocked whole-array formulation was measured 1.5x
     # slower: the [m, nb] one-hot and [m, 17] window transit HBM).
     block = min(131072, max(8192, (1 << 22) // nb))
-    m = flat_idx.shape[0]
     pad = (-m) % block
     idx_p = jnp.pad(flat_idx, (0, pad)).reshape(-1, block)
     j17 = jnp.arange(17, dtype=jnp.int32)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["encode_scan_pallas"]
+__all__ = ["encode_scan_pallas", "pair_lookup_pallas"]
 
 _U16 = 0xFFFF
 _MASK32 = 0xFFFFFFFF
@@ -350,3 +350,96 @@ def decode_scan_pallas(src16, byte_lens, num_symbols, precision, max_pv,
         ],
     )(src16.astype(jnp.int32), byte_lens[None, :], blast, win)
     return sym.T, san[0] != 0
+
+
+# -----------------------------------------------------------------------------
+# CDF pair-lookup kernel (encoder prep)
+# -----------------------------------------------------------------------------
+def _make_pair_lookup_kernel(nb):
+    """Builds the (cdf[i], cdf[i+1]) lookup kernel.
+
+    Two-level select with the window table in SMEM: an fori_loop over the
+    ~K/16 buckets pulls each lane's 17-wide window into registers with
+    scalar-broadcast selects (no one-hot materialization, no matmul), then
+    a static 17-way select picks positions ``i & 15`` and ``(i & 15) + 1``.
+    All int32 — CDF values <= 2**16.
+
+    Status: bit-exact on TPU (unlike the decode kernel), but measured NO
+    faster than jax_coder's XLA two-level one-hot (~15-16 ms vs ~14 ms for
+    32k x 512 lanes) — encoder prep is not bound by lookup compute.  Kept
+    as the starting point for a future fused prep+scan kernel.
+    """
+
+    def kernel(win_ref, idx_ref, lo_ref, hi_ref):
+        idx = idx_ref[:, :]
+        b = idx >> 4
+        r = idx & 15
+
+        zeros = jnp.zeros_like(idx)
+        w0 = tuple(zeros for _ in range(17))
+
+        def body(bb, w):
+            sel = b == bb
+            return tuple(
+                jnp.where(sel, win_ref[bb, j], w[j]) for j in range(17))
+
+        w = jax.lax.fori_loop(0, nb, body, w0)
+
+        c_lo = zeros
+        c_hi = zeros
+        for j in range(17):
+            if j < 16:
+                c_lo = jnp.where(r == j, w[j], c_lo)
+            if j >= 1:
+                c_hi = jnp.where(r + 1 == j, w[j], c_hi)
+        lo_ref[:, :] = c_lo
+        hi_ref[:, :] = c_hi
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def pair_lookup_pallas(win17, idx2, block_cols=256):
+    """(cdf[i], cdf[i+1]) for flat table indices, as a Pallas kernel.
+
+    Operates directly on the caller's 2-D [R, C] layout (the encoder's
+    [num_steps, num_streams]) so no relayouts are inserted around the
+    kernel — a flattened variant was measured no faster than XLA purely
+    because of the reshape/relayout traffic it forced.
+
+    Args:
+      win17: int32 [nb, 17] overlapping windows of the flat CDF table
+        (win17[b] = flat[16b : 16b+17], terminal-padded).
+      idx2: int32 [R, C] flat table indices, C % block_cols == 0.
+      block_cols: stream-axis tile width per program.
+
+    Returns:
+      (c_lo, c_hi) int32 [R, C].
+    """
+    rows, cols = idx2.shape
+    nb = win17.shape[0]
+    if cols % block_cols:
+        raise ValueError(f"cols {cols} % block_cols {block_cols} != 0")
+    # The kernel keeps 17 window arrays of the block shape live; cap the
+    # row-tile so scoped VMEM stays ~2 MB (17 * 128 * 256 * 4B).
+    block_rows = 128 if rows % 128 == 0 else rows
+    grid = (rows // block_rows, cols // block_cols)
+
+    kernel = _make_pair_lookup_kernel(nb)
+    io_spec = pl.BlockSpec((block_rows, block_cols), lambda i, j: (i, j),
+                           memory_space=pltpu.VMEM)
+    lo, hi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb, 17), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            io_spec,
+        ],
+        out_specs=[io_spec, io_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(idx2.shape, jnp.int32),
+            jax.ShapeDtypeStruct(idx2.shape, jnp.int32),
+        ],
+    )(win17, idx2)
+    return lo, hi

@@ -41,3 +41,37 @@ def test_decode_kernel_matches_xla(interpret_pallas):
         t.cdf.shape[1] - 1, blast_t, win_t)
     np.testing.assert_array_equal(np.asarray(symbols), sym)
     assert np.asarray(sane).all()
+
+
+class TestPairLookupKernel:
+    def test_interpret_matches_direct_indexing(self):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        from compression_tpu.codec import pallas_coder
+
+        rng = np.random.RandomState(3)
+        K = 257
+        flat = np.sort(rng.randint(0, 2**16, K)).astype(np.int32)
+        nb = -(-K // 16)
+        padded = np.concatenate(
+            [flat, np.full(16 * nb + 1 - K, flat[-1], np.int32)])
+        win17 = np.concatenate(
+            [padded[: 16 * nb].reshape(nb, 16), padded[16::16][:, None]],
+            axis=1)
+        idx2 = rng.randint(0, K - 1, (256, 512)).astype(np.int32)
+        kernel = pallas_coder._make_pair_lookup_kernel(nb)
+        io_spec = pl.BlockSpec(
+            (128, 256), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        lo, hi = pl.pallas_call(
+            kernel, grid=(2, 2),
+            in_specs=[
+                pl.BlockSpec((nb, 17), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                io_spec,
+            ],
+            out_specs=[io_spec, io_spec],
+            out_shape=[jax.ShapeDtypeStruct(idx2.shape, jnp.int32)] * 2,
+            interpret=True,
+        )(jnp.asarray(win17), jnp.asarray(idx2))
+        np.testing.assert_array_equal(np.asarray(lo), flat[idx2])
+        np.testing.assert_array_equal(np.asarray(hi), flat[idx2 + 1])
