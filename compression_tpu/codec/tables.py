@@ -98,6 +98,10 @@ def pmf_to_quantized_cdf(pmf, precision: int) -> np.ndarray:
     if not np.all(np.isfinite(pmf)) or np.any(pmf < 0):
         raise ValueError("pmf has non-finite or negative element")
 
+    native_cdf = _pmf_to_quantized_cdf_native(pmf, precision)
+    if native_cdf is not None:
+        return native_cdf
+
     normalizer = 1 << precision
     # float32 multiply then round-half-to-even, like the reference.
     values = np.rint(pmf * np.float32(normalizer)).astype(np.int64)
@@ -114,6 +118,32 @@ def pmf_to_quantized_cdf(pmf, precision: int) -> np.ndarray:
     cdf[0] = 0
     np.cumsum(values, out=cdf[1:])
     return cdf
+
+
+def _pmf_to_quantized_cdf_native(pmf: np.ndarray, precision: int):
+    """Native-C++ fast path: exact std::sort tie order (see pmf_quantizer.cc).
+
+    The pure-Python path below uses a *stable* seed sort, which can order
+    all-equal-penalty ties differently from the reference's unstable
+    std::sort; the native path shares libstdc++'s sort and is therefore
+    byte-identical to the reference on every input.  Returns None when no
+    C++ toolchain is available (Python fallback takes over).
+    """
+    from compression_tpu import native
+    import ctypes
+
+    lib = native.get_pmf_lib()
+    if lib is None:
+        return None
+    pmf_c = np.ascontiguousarray(pmf, np.float32)
+    out = np.empty(len(pmf) + 1, np.int32)
+    rc = lib.pmf_to_quantized_cdf(
+        pmf_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_long(len(pmf)), ctypes.c_int(precision),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        return None
+    return out
 
 
 def _penalty(v: int, mass: float) -> float:

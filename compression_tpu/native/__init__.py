@@ -63,3 +63,45 @@ def get_lib():
             except Exception:
                 _LIB = None
     return _LIB
+
+
+_PMF_LIB = None
+_PMF_TRIED = False
+
+
+def _build_and_load_pmf():
+    src = os.path.join(os.path.dirname(__file__), "pmf_quantizer.cc")
+    out = os.path.join(os.path.dirname(__file__), "_pmf_quantizer.so")
+    if not os.path.exists(out) or (
+            os.path.getmtime(out) < os.path.getmtime(src)):
+        # Must be libstdc++'s std::sort: equal-key order is the contract.
+        for cc in ("g++", "c++"):
+            try:
+                subprocess.run(
+                    [cc, "-O2", "-std=c++17", "-shared", "-fPIC", src,
+                     "-o", out],
+                    check=True, capture_output=True, timeout=120)
+                break
+            except (OSError, subprocess.SubprocessError):
+                continue
+        else:
+            return None
+    lib = ctypes.CDLL(out)
+    lib.pmf_to_quantized_cdf.restype = ctypes.c_int
+    lib.pmf_to_quantized_cdf.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32)]
+    return lib
+
+
+def get_pmf_lib():
+    """Returns the native PMF quantizer library, or None if unavailable."""
+    global _PMF_LIB, _PMF_TRIED
+    with _LOCK:
+        if not _PMF_TRIED:
+            _PMF_TRIED = True
+            try:
+                _PMF_LIB = _build_and_load_pmf()
+            except Exception:
+                _PMF_LIB = None
+    return _PMF_LIB

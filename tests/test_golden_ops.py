@@ -30,6 +30,13 @@ def data():
 
 class TestPmfToQuantizedCdfGolden:
     def test_exact_parity(self, data):
+        from compression_tpu import native
+
+        # With the native quantizer (shares libstdc++'s std::sort), every
+        # case is byte-exact, including all-equal-penalty ties.  The pure
+        # Python fallback uses a stable seed sort, so on the tie cases only
+        # the mass multiset is guaranteed.
+        exact_ties = native.get_pmf_lib() is not None
         ties = set(data["pmf_tie_cases"].tolist())
         n = int(data["pmf_num_cases"])
         assert len(ties) <= 2
@@ -38,8 +45,7 @@ class TestPmfToQuantizedCdfGolden:
             precision = int(data[f"pmf{i}__precision"])
             ref = data[f"pmf{i}__cdf"]
             mine = tables.pmf_to_quantized_cdf(pmf, precision)
-            if i in ties:
-                # Tie permutations differ; mass multiset must match.
+            if i in ties and not exact_ties:
                 np.testing.assert_array_equal(
                     np.sort(np.diff(ref)), np.sort(np.diff(mine)))
             else:
