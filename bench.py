@@ -79,24 +79,29 @@ def bench_tpu(table, symbols):
     encode_j = jax.jit(encode)
     buf, lengths = jax.block_until_ready(encode_j(sym_d, idx_d))
 
-    def decode(buf, lengths, idx):
-        # Pack bytes into 16-bit chunks on device (part of decode cost).
+    # Decode: lane-major Pallas kernel (single shared row, no overflow).
+    # Byte->chunk packing runs on device as part of the decode cost.
+    from compression_tpu.codec import pallas_coder
+
+    cdf_row = np.asarray(table.cdf[0][: int(table.length[0])])
+    precision = int(table.precision[0])
+
+    @jax.jit
+    def decode(buf, lengths):
         if buf.shape[1] % 2:
             buf = jnp.pad(buf, ((0, 0), (0, 1)))
         src16 = ((buf[:, 0::2].astype(jnp.uint32) << 8)
                  | buf[:, 1::2].astype(jnp.uint32))
-        return jax_coder.decode_core(
-            src16, lengths, idx, NUM_ELEMENTS, dev_table.cdf,
-            dev_table.length, dev_table.precision, dev_table.overflow,
-            None, False)
+        return pallas_coder.decode_scan_pallas_v2(
+            src16, lengths, NUM_ELEMENTS, cdf_row, precision, sub=16)
 
-    decode_j = jax.jit(decode)
+    decode_j = decode
     # Trim the byte buffer to the longest actual stream (even width): the
-    # decoder's chunk feed costs O(C) per symbol.
+    # decoder loads the chunk buffers whole into VMEM.
     max_len = int(np.asarray(lengths).max())
     width = min(buf.shape[1], max_len + (max_len % 2))
     buf = buf[:, :width]
-    out = jax.block_until_ready(decode_j(buf, lengths, idx_d))
+    out = jax.block_until_ready(decode_j(buf, lengths))
     assert np.array_equal(np.asarray(out[0]), symbols), "decode mismatch!"
 
     n_symbols = NUM_STREAMS * NUM_ELEMENTS
@@ -110,7 +115,7 @@ def bench_tpu(table, symbols):
     buf = full_buf[:, :width]
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = decode_j(buf, lengths, idx_d)
+        out = decode_j(buf, lengths)
     jax.block_until_ready(out)
     t_dec = (time.perf_counter() - t0) / reps
 

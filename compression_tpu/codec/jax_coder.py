@@ -208,6 +208,18 @@ def encode_core(lower, upper, prec, mask, out_size):
             _encode_step, init, (lower, upper, prec, mask))
         tag, w_val, res_event, res_dir = ys
 
+    return _encode_postpass(tag, w_val, res_event, res_dir,
+                            (base, sm1, delay, ptr, pend_start), out_size)
+
+
+def _encode_postpass(tag, w_val, res_event, res_dir, state, out_size):
+    """Turns scan records into (bytes [S, out_size], lengths [S]).
+
+    Shared by the XLA scan, the v1 Pallas scan and the fused v2 kernel.
+    """
+    base, sm1, delay, ptr, pend_start = state
+    num_steps, num_streams = tag.shape
+
     # Resolution direction for each pending chunk = direction of the first
     # resolution event strictly after its step (unresolved -> "up"/True).
     # Reverse associative scan over (has_event, direction), shifted by one.
@@ -823,6 +835,22 @@ def encode_streams(symbols, table, indexes=None) -> tuple[np.ndarray, np.ndarray
         table = DeviceCdfTable(table)
     symbols = np.asarray(symbols, np.int32)
     num_streams, n = symbols.shape
+
+    if _pallas_decode_applicable(table):
+        # Fused single-row Pallas encode (lookup + scan in one kernel).
+        from compression_tpu.codec import pallas_coder
+
+        sub = 8  # the fused encode kernel's in+out blocks cap VMEM at 16
+        pad = (-num_streams) % (sub * 128)
+        sym_p = np.pad(symbols, ((0, pad), (0, 0))) if pad else symbols
+        out_size = _round_up(2 * n + 2, 4)
+        cdf_row = np.asarray(table.cdf[0][: int(table.length[0])])
+        buf, lengths = _encode_single_row_jit(
+            jnp.asarray(sym_p), _HashableArray(cdf_row),
+            int(table.precision[0]), out_size, sub)
+        return (np.asarray(buf)[:num_streams],
+                np.asarray(lengths)[:num_streams])
+
     if indexes is None:
         indexes = np.broadcast_to(
             np.arange(n, dtype=np.int32) % table.num_rows, (num_streams, n))
@@ -857,6 +885,30 @@ def _encode_streams_jit(symbols, indexes, table, slots, num_steps, out_size):
     return encode_core(*ops, out_size)
 
 
+class _HashableArray:
+    """Wraps a host ndarray as a hashable static jit argument."""
+
+    def __init__(self, arr):
+        self.arr = np.asarray(arr)
+        self._key = (self.arr.shape, self.arr.dtype.str,
+                     self.arr.tobytes())
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return (isinstance(other, _HashableArray)
+                and self._key == other._key)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _encode_single_row_jit(symbols, cdf_row, precision, out_size, sub):
+    from compression_tpu.codec import pallas_coder
+
+    return pallas_coder.encode_single_row_device(
+        symbols, cdf_row.arr, precision, out_size, sub)
+
+
 def bytes_to_chunks(byte_buf, byte_lens=None):
     """Packs a padded uint8 byte buffer [S, L] into u32 16-bit chunks.
 
@@ -876,18 +928,52 @@ def bytes_to_chunks(byte_buf, byte_lens=None):
     return (hi << 8) | lo
 
 
+def _pallas_decode_applicable(table) -> bool:
+    """True when the lane-major Pallas decode kernel can serve this table.
+
+    The kernel handles the single-shared-row, no-overflow case (the regime
+    of batched entropy models and the bench workload) and requires a real
+    TPU backend (Mosaic); everything else takes the XLA scan path.
+    """
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return (backend == "tpu"
+            and int(table.num_rows) == 1
+            and not bool(table.any_overflow))
+
+
 def decode_streams(byte_buf, byte_lens, num_elements, table, indexes=None):
     """Decodes padded byte buffers back to int32 symbols [S, num_elements]."""
     if isinstance(table, tables.CdfTable):
         table = DeviceCdfTable(table)
     byte_lens = np.asarray(byte_lens, np.int32)
     num_streams = np.asarray(byte_buf).shape[0]
+    src16 = bytes_to_chunks(byte_buf, byte_lens)
+
+    if _pallas_decode_applicable(table):
+        from compression_tpu.codec import pallas_coder
+
+        sub = 16
+        pad = (-num_streams) % (sub * 128)
+        if pad:
+            src16 = np.pad(src16, ((0, pad), (0, 0)))
+            byte_lens_p = np.pad(byte_lens, (0, pad))
+        else:
+            byte_lens_p = byte_lens
+        cdf_row = np.asarray(table.cdf[0][: int(table.length[0])])
+        symbols, sanity = pallas_coder.decode_scan_pallas_v2(
+            jnp.asarray(src16), jnp.asarray(byte_lens_p),
+            int(num_elements), cdf_row, int(table.precision[0]), sub=sub)
+        return (np.asarray(symbols)[:num_streams],
+                np.asarray(sanity)[:num_streams])
+
     if indexes is None:
         indexes = np.broadcast_to(
             np.arange(num_elements, dtype=np.int32) % table.num_rows,
             (num_streams, num_elements))
     indexes = np.asarray(indexes, np.int32)
-    src16 = bytes_to_chunks(byte_buf, byte_lens)
     symbols, sanity = decode_core(
         jnp.asarray(src16), jnp.asarray(byte_lens), jnp.asarray(indexes),
         int(num_elements), table.cdf, table.length, table.precision,

@@ -20,10 +20,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["encode_scan_pallas", "pair_lookup_pallas"]
+__all__ = ["encode_scan_pallas", "decode_scan_pallas",
+           "decode_scan_pallas_v2", "pair_lookup_pallas"]
 
 _U16 = 0xFFFF
 _MASK32 = 0xFFFFFFFF
@@ -255,7 +257,10 @@ def _make_decode_kernel(num_symbols, precision, max_pv, nb):
                 jnp.int32, (block, nb), 1) == bsel[:, None]).astype(
                     jnp.float32)
             win = jnp.dot(onehot, win17,
-                          preferred_element_type=jnp.float32)  # [block, 17]
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)  # [block, 17]
+            # HIGHEST is load-bearing: CDF values reach 2**16 and the MXU's
+            # default bf16 passes round them (silent wrong symbols on TPU).
 
             below = win < t_f[:, None]
             fine = jnp.sum(b2f(below[:, 1:]), axis=1).astype(jnp.int32)
@@ -350,6 +355,492 @@ def decode_scan_pallas(src16, byte_lens, num_symbols, precision, max_pv,
         ],
     )(src16.astype(jnp.int32), byte_lens[None, :], blast, win)
     return sym.T, san[0] != 0
+
+
+# -----------------------------------------------------------------------------
+# Decoder kernel v2: lane-major layout (the production fast path)
+# -----------------------------------------------------------------------------
+#
+# v1 above keeps per-stream state in 1-D (block,) vectors and pulls CDF
+# windows with an MXU one-hot dot; on TPU that forces a lane<->sublane
+# relayout on nearly every step (measured ~2 us/step for 256 streams —
+# 4.7x slower than the XLA scan).  v2 never leaves the native (SUB, 128)
+# vreg tiling:
+#
+#   * streams live at (sublane, lane); all state is (SUB, 128) u32,
+#   * the symbol search is a select-accumulate over the *static* bucket
+#     index against SMEM scalars (no gathers, no dots, no relayouts),
+#   * the chunk feed holds a 32-chunk window in registers per lane,
+#     refilled once per 16-step segment from the VMEM-resident chunk
+#     buffer (layout [C, SUB, 128], chunk-major) — HBM is touched once.
+#
+# Bit-exactness: integer recurrence identical to jax_coder's scan path
+# (reference cc/lib/range_coder.h:224-282 DecodeInternal/Read16BitValue);
+# the threshold search reproduces RangeDecoder's exact integer threshold
+# via an f32 quotient plus +-2 integer correction (exact because
+# quantities stay below 2**24 where f32 is integral).
+
+
+def _make_decode_kernel_v2(num_symbols, precision, max_pv, nb, nb_pull,
+                           sub):
+    """Builds the lane-major decode kernel for one shared CDF row.
+
+    Static parameters:
+      num_symbols: symbols per stream (any int; full 16-step segments run
+        in a fori_loop, the remainder is unrolled statically).
+      precision: range-coder precision of the row.
+      max_pv: alphabet size (pv is clamped to it, as in the scan path).
+      nb: number of 16-wide CDF buckets (windows of 17 values each).
+      nb_pull: number of 16-chunk source buckets the feed may start from.
+      sub: sublane tile height (streams per program = sub * 128).
+    """
+    shift_up = 32 - precision
+    seg_count = num_symbols // 16
+
+    def kernel(src_ref, len_ref, blast_ref, win_ref, sym_ref, san_ref):
+        def u2f(x):
+            hi = (x >> 16).astype(jnp.int32).astype(jnp.float32)
+            lo = (x & 0xFFFF).astype(jnp.int32).astype(jnp.float32)
+            return hi * jnp.float32(65536.0) + lo
+
+        def f2u(f):
+            return f.astype(jnp.int32).astype(jnp.uint32)
+
+        def mul_size(sm1, v):
+            h = sm1 >> 16
+            l = sm1 & 0xFFFF
+            p1 = h * v
+            p2a = l * v
+            p2 = p2a + v
+            c2 = (p2 < p2a).astype(jnp.uint32)
+            lo1 = p1 << 16
+            lo = lo1 + p2
+            c1 = (lo < lo1).astype(jnp.uint32)
+            return (p1 >> 16) + c2 + c1, lo
+
+        def mul_shift(sm1, v):
+            hi, lo = mul_size(sm1, v)
+            return (hi << shift_up) | (lo >> precision)
+
+        c0 = src_ref[0].astype(jnp.uint32)
+        c1 = src_ref[1].astype(jnp.uint32)
+        value0 = (c0 << 16) | c1
+
+        def pull_window(chunks_read):
+            # Per-lane 32-chunk window starting at the lane's current
+            # 16-aligned source bucket.  Select-accumulate over the static
+            # bucket index; rows beyond the real buffer are zero-padded
+            # on the host.
+            b0 = jnp.minimum(chunks_read >> 4, nb_pull - 1)
+            window = [jnp.zeros_like(value0, dtype=jnp.int32)] * 32
+            for b in range(nb_pull):
+                m = b0 == b
+                for j in range(32):
+                    row = src_ref[16 * b + j]
+                    window[j] = jnp.where(m, row, window[j])
+            return window, b0 << 4
+
+        def one_step(carry, window, base16, t):
+            base, sm1, value, chunks_read = carry
+
+            # --- exact decode threshold (v1 logic, proven on TPU) ---
+            vb1 = (value - base) + 1
+            wrapped = vb1 == 0
+            lb_hi = jnp.where(
+                wrapped, jnp.uint32(1 << precision), vb1 >> shift_up)
+            lb_lo = vb1 << precision
+            lb_f = u2f(lb_hi) * jnp.float32(2.0**32) + u2f(lb_lo)
+            size_f = u2f(sm1) + 1.0
+            t0 = f2u(jnp.floor(lb_f / size_f))
+
+            def ok(c):
+                hi, lo = mul_size(sm1, c)
+                return (hi > lb_hi) | ((hi == lb_hi) & (lo >= lb_lo))
+
+            tm1 = jnp.where(t0 > 1, t0, jnp.uint32(1)) - 1
+            thr = jnp.where(
+                ok(tm1), tm1,
+                jnp.where(ok(t0), t0,
+                          jnp.where(ok(t0 + 1), t0 + 1, t0 + 2)))
+            thr = jnp.where(thr > 1, thr, jnp.uint32(1))
+            thr_i = thr.astype(jnp.int32)  # <= 2**16: exact in i32
+
+            # --- bucketed symbol search, all on lane-major tiles ---
+            nfull = jnp.zeros_like(thr_i)
+            for b in range(nb):
+                nfull = nfull + jnp.where(blast_ref[0, b] < thr_i, 1, 0)
+            bsel = jnp.minimum(nfull, nb - 1)
+            w = [None] * 17
+            for b in range(nb):
+                m = bsel == b
+                for j in range(17):
+                    v = win_ref[0, 17 * b + j]
+                    w[j] = v if b == 0 else jnp.where(m, v, w[j])
+            fine = jnp.zeros_like(thr_i)
+            c_lo = jnp.zeros_like(thr_i)
+            c_hi = jnp.full_like(thr_i, 1 << 30)
+            for j in range(17):
+                below = w[j] < thr_i
+                if j > 0:
+                    fine = fine + jnp.where(below, 1, 0)
+                c_lo = jnp.where(below, jnp.maximum(c_lo, w[j]), c_lo)
+                c_hi = jnp.where(below, c_hi, jnp.minimum(c_hi, w[j]))
+            pv = jnp.minimum(16 * nfull + fine, max_pv)
+            c_hi = jnp.minimum(c_hi, 1 << 16)
+
+            # --- interval update + renormalization ---
+            a = mul_shift(sm1, c_lo.astype(jnp.uint32))
+            b_ = mul_shift(sm1, c_hi.astype(jnp.uint32)) - 1
+            nbse = base + a
+            ns = b_ - a
+            renorm = (ns >> 16) == 0
+
+            # --- chunk feed from the register window ---
+            offs = chunks_read - base16
+            ovf = offs >= 32
+            sel = window
+            for bit in (16, 8, 4, 2, 1):
+                half = [jnp.where(offs & bit != 0, sel[i + bit], sel[i])
+                        for i in range(bit)]
+                sel = half
+            chunk = jnp.where(ovf, 0, sel[0]).astype(jnp.uint32)
+
+            base = jnp.where(renorm, nbse << 16, nbse)
+            sm1 = jnp.where(renorm, (ns << 16) | 0xFFFF, ns)
+            value = jnp.where(renorm, (value << 16) | chunk, value)
+            chunks_read = chunks_read + jnp.where(renorm, 1, 0)
+
+            sym_ref[t] = pv - 1
+            return base, sm1, value, chunks_read
+
+        def segment(seg, carry):
+            window, base16 = pull_window(carry[3])
+            for _k in range(16):
+                carry = one_step(carry, window, base16, seg * 16 + _k)
+            return carry
+
+        carry = (jnp.zeros_like(value0),
+                 jnp.full_like(value0, _MASK32),
+                 value0,
+                 jnp.full_like(value0, 2, dtype=jnp.int32))
+        carry = jax.lax.fori_loop(0, seg_count, segment, carry)
+
+        # Static remainder: exactly num_symbols steps total, so the final
+        # coder state (and thus the sanity check) matches the scan path.
+        rem = num_symbols - 16 * seg_count
+        if rem:
+            window, base16 = pull_window(carry[3])
+            for _k in range(rem):
+                carry = one_step(carry, window, base16, 16 * seg_count + _k)
+        base, sm1, value, chunks_read = carry
+
+        # Weak decoder sanity (RangeDecoder::Finalize), int32 select form.
+        upper_end = base + sm1
+        straddle = upper_end < base
+        is24 = ((base - 1) >> 24) < (upper_end >> 24)
+        mid24 = (((base - 1) >> 24) + 1) << 24
+        mid16 = (((base - 1) >> 16) + 1) << 16
+        mid = jnp.where(is24, mid24, mid16)
+        ok_mid_i = jnp.where(mid == value, 1, 0)
+        zero_i = jnp.where(value == 0, 1, 0)
+        head_i = jnp.where((base == 0) | straddle, zero_i, ok_mid_i)
+        consumed_i = jnp.where(2 * chunks_read >= len_ref[:, :], 1, 0)
+        san_ref[:, :] = head_i * consumed_i
+
+    return kernel
+
+
+def _decode_v2_tables(cdf_row):
+    """Bucket tables for the v2 search, like _bucketize_row but int32.
+
+    win[b] = [last value of bucket b-1 (or 0), the 16 values of bucket b].
+    """
+    cdf_row = np.asarray(cdf_row, np.int64)
+    length = len(cdf_row)
+    nb = max(-(-length // 16), 1)
+    terminal = cdf_row[-1]
+    padded = np.concatenate(
+        [cdf_row, np.full(16 * nb - length, terminal, np.int64)])
+    buckets = padded.reshape(nb, 16)
+    blast = buckets[:, -1].astype(np.int32)
+    win = np.zeros((nb, 17), np.int32)
+    win[:, 0] = np.concatenate([[0], buckets[:-1, -1]])
+    win[:, 1:] = buckets
+    return blast[None, :], win.reshape(1, -1)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _decode_v2_call(src16, byte_lens, blast, win, num_symbols, precision,
+                    max_pv, sub):
+    num_streams, nchunks = src16.shape
+    nsub = num_streams // 128
+    nb = win.shape[1] // 17
+
+    # Chunk-major layout, zero padded so every in-range window read is 0.
+    nb_pull = max((nchunks + 16) // 16, 1) + 1
+    c_pad = 16 * nb_pull + 32
+    src_t = jnp.zeros((c_pad, nsub, 128), jnp.int32)
+    src_t = src_t.at[:nchunks].set(
+        jnp.asarray(src16, jnp.uint32).astype(jnp.int32)
+        .T.reshape(nchunks, nsub, 128))
+    len2 = jnp.asarray(byte_lens, jnp.int32).reshape(nsub, 128)
+
+    grid = (nsub // sub,)
+    kernel = _make_decode_kernel_v2(
+        num_symbols, precision, max_pv, nb, nb_pull, sub)
+    sym, san = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((c_pad, sub, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blast.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, win.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((num_symbols, sub, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_symbols, nsub, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nsub, 128), jnp.int32),
+        ],
+    )(src_t, len2, blast, win)
+    # [T, NSUB, 128] -> [S, num_symbols]
+    sym = sym.reshape(num_symbols, nsub * 128).T
+    return sym, san.reshape(-1) != 0
+
+
+def decode_scan_pallas_v2(src16, byte_lens, num_symbols, cdf_row,
+                          precision, sub=8):
+    """Lane-major Pallas decode for a single shared no-overflow CDF row.
+
+    Args:
+      src16: uint32/int32 [S, C] 16-bit chunk buffers (S % (sub*128) == 0).
+      byte_lens: int32 [S] byte lengths (for the sanity check only).
+      num_symbols: symbols per stream.
+      cdf_row: 1-D int array, the row's CDF values (length = alphabet + 1).
+      precision: the row's range-coder precision.
+      sub: sublane tile height per program (streams per program = sub*128).
+
+    Returns:
+      (symbols int32 [S, num_symbols], sanity bool [S]).
+    """
+    num_streams = src16.shape[0]
+    if num_streams % (sub * 128):
+        raise ValueError(f"num_streams {num_streams} % {sub * 128} != 0")
+    blast, win = _decode_v2_tables(cdf_row)
+    max_pv = len(np.asarray(cdf_row)) - 1
+    return _decode_v2_call(
+        src16, byte_lens, jnp.asarray(blast), jnp.asarray(win),
+        int(num_symbols), int(precision), int(max_pv), int(sub))
+
+
+# -----------------------------------------------------------------------------
+# Encoder kernel v2: fused lookup + scan, lane-major (production fast path)
+# -----------------------------------------------------------------------------
+#
+# The XLA encode pipeline spends ~half its time materializing
+# (lower, upper) micro-ops from symbols (the CDF pair lookup) and the
+# other half in the v1 Pallas scan, whose 1-D (block,) state suffers the
+# same layout problem as the v1 decoder.  This kernel fuses both: symbols
+# stream in as [N, SUB, 128] tiles, the (cdf[v], cdf[v+1]) pair comes from
+# per-lane dynamic gathers over lane-replicated table parts (Mosaic
+# supports take_along_axis along lanes; ~20ns per gather), and the exact
+# RangeEncoder::Encode recurrence (reference cc/lib/range_coder.cc:37-264)
+# runs on (SUB, 128) u32 tiles.  Emits the same per-step chunk records as
+# the v1 scan; jax_coder._encode_postpass resolves them into bytes.
+#
+# Single-shared-row, no-overflow tables only (the regime of batched
+# entropy models); everything else takes the micro-op path.
+
+
+def _make_encode_kernel_v2(num_steps, precision, parts, sub):
+    """Builds the fused encode kernel for one shared CDF row.
+
+    Static parameters:
+      num_steps: symbols per stream.
+      precision: range-coder precision of the row.
+      parts: number of 128-wide lane-replicated table parts.
+      sub: sublane tile height (streams per program = sub * 128).
+    """
+    shift_up = 32 - precision
+
+    def kernel(vq_ref, tlo_ref, thi_ref, rec_ref, state_ref):
+        def mul_size(sm1, v):
+            h = sm1 >> 16
+            l = sm1 & 0xFFFF
+            p1 = h * v
+            p2a = l * v
+            p2 = p2a + v
+            c2 = (p2 < p2a).astype(jnp.uint32)
+            lo1 = p1 << 16
+            lo = lo1 + p2
+            c1 = (lo < lo1).astype(jnp.uint32)
+            return (p1 >> 16) + c2 + c1, lo
+
+        def mul_shift(sm1, v):
+            hi, lo = mul_size(sm1, v)
+            return (hi << shift_up) | (lo >> precision)
+
+        # Lane-replicated table parts, hoisted out of the step loop.
+        # tlo[p] = cdf[128p : 128p+128], thi[p] = cdf[128p+1 : 128p+129]
+        # (the shifted copy makes cdf[v+1] share v's gather index).
+        tlo = [jnp.broadcast_to(tlo_ref[p][None, :], (sub, 128))
+               for p in range(parts)]
+        thi = [jnp.broadcast_to(thi_ref[p][None, :], (sub, 128))
+               for p in range(parts)]
+
+        def lookup(v):
+            lane = v & 127
+            p_ix = v >> 7
+            c_lo = jnp.take_along_axis(tlo[0], lane, axis=1)
+            c_hi = jnp.take_along_axis(thi[0], lane, axis=1)
+            for p in range(1, parts):
+                m = p_ix == p
+                c_lo = jnp.where(
+                    m, jnp.take_along_axis(tlo[p], lane, axis=1), c_lo)
+                c_hi = jnp.where(
+                    m, jnp.take_along_axis(thi[p], lane, axis=1), c_hi)
+            return c_lo.astype(jnp.uint32), c_hi.astype(jnp.uint32)
+
+        def step(t, carry):
+            base, sm1, delay, ptr, pend_start = carry
+            c_lo, c_hi = lookup(vq_ref[t])
+
+            # RangeEncoder::Encode, exactly as jax_coder._encode_step
+            # (delayed-carry "state 1" via delay/pend bookkeeping).
+            a = mul_shift(sm1, c_lo)
+            b = mul_shift(sm1, c_hi) - 1
+            nbase = base + a
+            overflow = nbase < a
+            ns = b - a
+            straddle = (nbase + ns) < nbase
+            renorm = (ns >> 16) == 0
+
+            res_event = (delay != 0) & ~straddle
+            shifted_base = nbase << 16
+            shifted_sm1 = (ns << 16) | _U16
+            new_base = jnp.where(renorm, shifted_base, nbase)
+            new_sm1 = jnp.where(renorm, shifted_sm1, ns)
+
+            top = nbase >> 16
+            ambiguous = (shifted_base + shifted_sm1) < shifted_base
+            tag = jnp.where(
+                ~renorm, 0,
+                jnp.where(straddle, 3, jnp.where(ambiguous, 2, 1)),
+            ).astype(jnp.int32)
+
+            new_delay = jnp.where(
+                straddle, delay, jnp.where(tag == 2, top + 1, 0))
+            w_val = jnp.where(
+                tag == 2, top + 1, jnp.where(tag == 1, top, 0))
+            new_pend = jnp.where(tag == 2, ptr, pend_start)
+            new_ptr = ptr + 2 * (tag != 0)
+
+            # Packed record: val(17b) | tag(2b) | res_event(1b) | dir(1b)
+            # — one store/step keeps the output block inside scoped VMEM.
+            val = jnp.where(tag > 0, w_val, 0).astype(jnp.int32)
+            rec_ref[t] = (val | (tag << 17)
+                          | (res_event.astype(jnp.int32) << 19)
+                          | (overflow.astype(jnp.int32) << 20))
+            return new_base, new_sm1, new_delay, new_ptr, new_pend
+
+        zero_u = jnp.zeros((sub, 128), jnp.uint32)
+        zero_i = jnp.zeros((sub, 128), jnp.int32)
+        base, sm1, delay, ptr, pend_start = jax.lax.fori_loop(
+            0, num_steps, step,
+            (zero_u, jnp.full((sub, 128), _MASK32, jnp.uint32), zero_u,
+             zero_i, zero_i))
+        state_ref[0] = base.astype(jnp.int32)
+        state_ref[1] = sm1.astype(jnp.int32)
+        state_ref[2] = delay.astype(jnp.int32)
+        state_ref[3] = ptr
+        state_ref[4] = pend_start
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _encode_v2_call(vq_t, tables2, precision, sub):
+    """vq_t: int32 [N, NSUB, 128]; tables2: int32 [2, parts, 128]."""
+    num_steps, nsub, _ = vq_t.shape
+    parts = tables2.shape[1]
+    grid = (nsub // sub,)
+    kernel = _make_encode_kernel_v2(num_steps, precision, parts, sub)
+    io = lambda: pl.BlockSpec((num_steps, sub, 128), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    rec, state = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            io(),
+            pl.BlockSpec((parts, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((parts, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[io(),
+                   pl.BlockSpec((5, sub, 128), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((num_steps, nsub, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((5, nsub, 128), jnp.int32)],
+    )(vq_t, tables2[0], tables2[1])
+    return rec, state
+
+
+def encode_single_row_device(symbols, cdf_row, precision, out_size, sub=8):
+    """Fused single-row encode: symbols -> (bytes [S, out_size], lengths).
+
+    Jittable (symbols may be traced; cdf_row must be a host constant).
+
+    Args:
+      symbols: int32 [S, N], S % (sub*128) == 0; values are clipped to the
+        row's alphabet like the micro-op path.
+      cdf_row: 1-D host int array (alphabet + 1 CDF values).
+      precision: static int.
+      out_size: static output buffer width (>= 2*N + 2).
+      sub: sublane tile height.
+    """
+    from compression_tpu.codec import jax_coder
+
+    num_streams, n = symbols.shape
+    if num_streams % (sub * 128):
+        raise ValueError(f"num_streams {num_streams} % {sub * 128} != 0")
+    cdf_row = np.asarray(cdf_row, np.int64)
+    max_sym = len(cdf_row) - 2
+    parts = max(-(-(max_sym + 1) // 128), 1)
+    pad = parts * 128 + 1 - len(cdf_row)
+    flat = np.concatenate(
+        [cdf_row, np.full(pad, cdf_row[-1], np.int64)]).astype(np.int32)
+    tables2 = np.stack([
+        flat[: parts * 128].reshape(parts, 128),
+        flat[1 : parts * 128 + 1].reshape(parts, 128),
+    ])
+
+    nsub = num_streams // 128
+    vq = jnp.clip(jnp.asarray(symbols, jnp.int32), 0, max_sym)
+    vq_t = vq.T.reshape(n, nsub, 128)
+    rec, state = _encode_v2_call(
+        vq_t, jnp.asarray(tables2), int(precision), int(sub))
+
+    rec = rec.reshape(n, num_streams)
+    tag = (rec >> 17) & 3
+    val = (rec & 0x1FFFF).astype(jnp.uint32)
+    rese = ((rec >> 19) & 1) != 0
+    resd = ((rec >> 20) & 1) != 0
+    state_f = state.reshape(5, num_streams)
+    return jax_coder._encode_postpass(
+        tag, val, rese, resd,
+        (state_f[0].astype(jnp.uint32), state_f[1].astype(jnp.uint32),
+         state_f[2].astype(jnp.uint32), state_f[3], state_f[4]),
+        out_size)
 
 
 # -----------------------------------------------------------------------------

@@ -43,6 +43,78 @@ def test_decode_kernel_matches_xla(interpret_pallas):
     assert np.asarray(sane).all()
 
 
+class _FakeRef:
+    """Eager stand-in for a pallas Ref: index to read, assign to write."""
+
+    def __init__(self, arr):
+        self.arr = np.asarray(arr)
+
+    def __getitem__(self, ix):
+        return jnp.asarray(self.arr[ix])
+
+    def __setitem__(self, ix, val):
+        self.arr[ix] = np.asarray(val)
+
+
+@pytest.mark.parametrize("n_elements", [48, 53])
+def test_decode_kernel_v2_matches_oracle(n_elements, monkeypatch):
+    """Lane-major v2 kernel body: exact symbols + sanity for any N.
+
+    Pallas interpret mode is far too slow for this kernel (the 16-step
+    unrolled segments make a huge graph), so the kernel *body* runs
+    eagerly on CPU through fake Refs — identical code path, same dataflow
+    as the Mosaic compilation.  Real-TPU bit-exactness at bench scale is
+    exercised by bench.py's built-in assert.
+    """
+    S, N, sub = 256, n_elements, 2
+    pmf = 1.0 / (1 + np.arange(40)) ** 1.3
+    pmf /= pmf.sum()
+    cdf = tables.pmf_to_quantized_cdf(pmf, 13)
+    t = tables.parse_ragged_cdf(tables.build_ragged_cdf([cdf], [13], [False]))
+    rng = np.random.RandomState(7)
+    sym = rng.choice(40, size=(S, N), p=pmf).astype(np.int32)
+    buf, lengths = jax_coder.encode_streams(sym, t)
+    src16 = np.asarray(jax_coder.bytes_to_chunks(buf, lengths))
+
+    # Run the kernel's fori_loop eagerly so FakeRef writes execute.
+    def eager_fori(lo, hi, body, init):
+        carry = init
+        for i in range(int(lo), int(hi)):
+            carry = body(i, carry)
+        return carry
+
+    monkeypatch.setattr(pallas_coder.jax.lax, "fori_loop", eager_fori)
+
+    cdf_row = np.asarray(t.cdf[0])
+    blast, win = pallas_coder._decode_v2_tables(cdf_row)
+    nchunks = src16.shape[1]
+    nb_pull = max((nchunks + 16) // 16, 1) + 1
+    c_pad = 16 * nb_pull + 32
+    nsub = S // 128
+    src_t = np.zeros((c_pad, nsub, 128), np.int32)
+    src_t[:nchunks] = src16.astype(np.uint32).astype(
+        np.int64).T.reshape(nchunks, nsub, 128)
+    kernel = pallas_coder._make_decode_kernel_v2(
+        N, 13, len(cdf_row) - 1, win.shape[1] // 17, nb_pull, sub)
+
+    sym_out = np.zeros((N, nsub, 128), np.int32)
+    san_out = np.zeros((nsub, 128), np.int32)
+    for i in range(nsub // sub):
+        rows = slice(i * sub, (i + 1) * sub)
+        sym_blk = np.zeros((N, sub, 128), np.int32)
+        san_blk = np.zeros((sub, 128), np.int32)
+        kernel(_FakeRef(src_t[:, rows]),
+               _FakeRef(np.asarray(lengths).reshape(nsub, 128)[rows]),
+               _FakeRef(blast), _FakeRef(win),
+               _FakeRef(sym_blk), _FakeRef(san_blk))
+        sym_out[:, rows] = sym_blk
+        san_out[rows] = san_blk
+
+    got = sym_out.reshape(N, S).T
+    np.testing.assert_array_equal(got, sym)
+    assert (san_out != 0).all()
+
+
 class TestPairLookupKernel:
     def test_interpret_matches_direct_indexing(self):
         from jax.experimental import pallas as pl
