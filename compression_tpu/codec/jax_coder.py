@@ -35,6 +35,7 @@ iterate while some lane is still consuming gamma bits.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -836,8 +837,12 @@ def encode_streams(symbols, table, indexes=None) -> tuple[np.ndarray, np.ndarray
     symbols = np.asarray(symbols, np.int32)
     num_streams, n = symbols.shape
 
-    if _pallas_decode_applicable(table):
+    if _pallas_decode_applicable(table) and os.environ.get(
+            "COMPRESSION_TPU_FUSED_ENCODE"):
         # Fused single-row Pallas encode (lookup + scan in one kernel).
+        # Off by default: measured 3.6x slower than the XLA micro-op path
+        # in interleaved A/B runs (the per-lane table gathers serialize);
+        # kept for kernels work behind the env flag.
         from compression_tpu.codec import pallas_coder
 
         sub = 8  # the fused encode kernel's in+out blocks cap VMEM at 16
@@ -944,6 +949,81 @@ def _pallas_decode_applicable(table) -> bool:
             and not bool(table.any_overflow))
 
 
+def _pallas_indexed_applicable(table) -> bool:
+    """True when the indexed Pallas decode kernel can serve this table.
+
+    Handles any row-per-element table (incl. overflow/escape rows) with
+    per-row precision <= 15 (the 16-bit window packing); outsized tables
+    fall back to the XLA scan (per-probe gather cost grows with table
+    size).  Requires a real TPU backend (Mosaic).
+    """
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    if backend != "tpu":
+        return False
+    if int(np.asarray(table.precision).max()) > 15:
+        return False
+    if not bool(table.any_overflow):
+        # The no-overflow build currently trips a Mosaic scf.if layout
+        # unification bug; EM tables are always overflow mode anyway.
+        return False
+    # Total bucket count caps the packed window parts (gather cost).
+    total_buckets = int(
+        np.sum(-(-np.asarray(table.length) // 16)))
+    return total_buckets <= 16384 and int(table.num_rows) <= 4096
+
+
+def decode_dispatch(src16, byte_lens, num_elements, table, indexes=None):
+    """Traced decode entry point: Pallas kernels when applicable, XLA scan
+    otherwise.
+
+    Safe to call inside jit (src16 / byte_lens / indexes may be tracers;
+    the table must be concrete).  ``indexes=None`` selects channel mode
+    (element j uses row ``j % num_rows``).
+    """
+    num_streams = src16.shape[0]
+
+    if indexes is None and _pallas_decode_applicable(table):
+        from compression_tpu.codec import pallas_coder
+
+        sub = 16
+        pad = (-num_streams) % (sub * 128)
+        src_p = jnp.pad(src16, ((0, pad), (0, 0))) if pad else src16
+        len_p = jnp.pad(byte_lens, (0, pad)) if pad else byte_lens
+        cdf_row = np.asarray(table.cdf[0][: int(table.length[0])])
+        symbols, sanity = pallas_coder.decode_scan_pallas_v2(
+            src_p, len_p, int(num_elements), cdf_row,
+            int(table.precision[0]), sub=sub)
+        return symbols[:num_streams], sanity[:num_streams]
+
+    if indexes is None:
+        indexes = jnp.broadcast_to(
+            jnp.arange(num_elements, dtype=jnp.int32) % table.num_rows,
+            (num_streams, num_elements))
+
+    if _pallas_indexed_applicable(table):
+        from compression_tpu.codec import pallas_coder
+
+        sub = 8
+        pad = (-num_streams) % (sub * 128)
+        if pad:
+            src_p = jnp.pad(src16, ((0, pad), (0, 0)))
+            len_p = jnp.pad(byte_lens, (0, pad))
+            idx_p = jnp.pad(indexes, ((0, pad), (0, 0)))
+        else:
+            src_p, len_p, idx_p = src16, byte_lens, indexes
+        symbols, sanity = pallas_coder.decode_indexed_pallas(
+            src_p, len_p, idx_p, int(num_elements), table, sub=sub)
+        return symbols[:num_streams], sanity[:num_streams]
+
+    return decode_core(
+        src16, byte_lens, jnp.asarray(indexes, jnp.int32),
+        int(num_elements), table.cdf, table.length, table.precision,
+        table.overflow, None, table.any_overflow)
+
+
 def decode_streams(byte_buf, byte_lens, num_elements, table, indexes=None):
     """Decodes padded byte buffers back to int32 symbols [S, num_elements]."""
     if isinstance(table, tables.CdfTable):
@@ -951,33 +1031,10 @@ def decode_streams(byte_buf, byte_lens, num_elements, table, indexes=None):
     byte_lens = np.asarray(byte_lens, np.int32)
     num_streams = np.asarray(byte_buf).shape[0]
     src16 = bytes_to_chunks(byte_buf, byte_lens)
-
-    if _pallas_decode_applicable(table):
-        from compression_tpu.codec import pallas_coder
-
-        sub = 16
-        pad = (-num_streams) % (sub * 128)
-        if pad:
-            src16 = np.pad(src16, ((0, pad), (0, 0)))
-            byte_lens_p = np.pad(byte_lens, (0, pad))
-        else:
-            byte_lens_p = byte_lens
-        cdf_row = np.asarray(table.cdf[0][: int(table.length[0])])
-        symbols, sanity = pallas_coder.decode_scan_pallas_v2(
-            jnp.asarray(src16), jnp.asarray(byte_lens_p),
-            int(num_elements), cdf_row, int(table.precision[0]), sub=sub)
-        return (np.asarray(symbols)[:num_streams],
-                np.asarray(sanity)[:num_streams])
-
-    if indexes is None:
-        indexes = np.broadcast_to(
-            np.arange(num_elements, dtype=np.int32) % table.num_rows,
-            (num_streams, num_elements))
-    indexes = np.asarray(indexes, np.int32)
-    symbols, sanity = decode_core(
-        jnp.asarray(src16), jnp.asarray(byte_lens), jnp.asarray(indexes),
-        int(num_elements), table.cdf, table.length, table.precision,
-        table.overflow, None, table.any_overflow)
+    symbols, sanity = decode_dispatch(
+        jnp.asarray(src16), jnp.asarray(byte_lens), int(num_elements),
+        table,
+        None if indexes is None else jnp.asarray(indexes, jnp.int32))
     return np.asarray(symbols), np.asarray(sanity)
 
 

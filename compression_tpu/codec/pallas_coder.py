@@ -25,7 +25,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["encode_scan_pallas", "decode_scan_pallas",
-           "decode_scan_pallas_v2", "pair_lookup_pallas"]
+           "decode_scan_pallas_v2", "decode_indexed_pallas",
+           "pair_lookup_pallas"]
 
 _U16 = 0xFFFF
 _MASK32 = 0xFFFFFFFF
@@ -640,6 +641,475 @@ def decode_scan_pallas_v2(src16, byte_lens, num_symbols, cdf_row,
     return _decode_v2_call(
         src16, byte_lens, jnp.asarray(blast), jnp.asarray(win),
         int(num_symbols), int(precision), int(max_pv), int(sub))
+
+
+# -----------------------------------------------------------------------------
+# Indexed decoder kernel: lane-major, any CDF row per element, overflow mode
+# -----------------------------------------------------------------------------
+#
+# The production regime of bmshj2018/ms2020/universal decode: each element
+# selects its own CDF row (`indexes`), rows may differ in length and
+# precision, and overflow rows append an escape symbol followed by an
+# Elias-gamma magnitude + sign coded with the binary uniform CDF at
+# precision 1 (reference cc/kernels/range_coder_kernels.cc:449-471
+# OverflowDecode).  The XLA scan path serves this regime with a one-hot
+# MXU row-select plus a full-row threshold scan per symbol — O(rows x
+# max_len) work per step.  This kernel keeps everything lane-major like
+# decode v2 and replaces both with O(log) work per step:
+#
+#   * rows are 16-bucketed once on the host; the 17 window positions are
+#     stored TRANSPOSED (one array per window position, indexed by global
+#     bucket id) and 16-bit packed, so a per-lane probe is a 2-3 part
+#     `take_along_axis` gather instead of a row materialization,
+#   * the symbol search is a binary search over the row's bucket-last
+#     values (log2(max buckets/row) probes) plus a 17-probe fine pass
+#     that also yields the bracketing (cdf[pv-1], cdf[pv]) pair,
+#   * per-row metadata (bucket offset/count, precision, escape value,
+#     overflow flag) gathers from lane-replicated vectors,
+#   * the chunk feed reuses v2's register-resident 32-chunk window, but
+#     refilled ON DEMAND (whenever any lane is within reach of the edge),
+#     which both amortizes the refill over ~16+ symbols and stays correct
+#     under the variable-length gamma escape path,
+#   * the gamma path itself runs under `lax.cond` on "any lane escaped",
+#     so no-escape steps pay one reduction.
+#
+# Bit-exactness: same integer recurrences as jax_coder.decode_core
+# (reference cc/lib/range_coder.h:224-282); the threshold search uses the
+# proven f32-quotient + exact fixup from v1/v2.  Requires precision <= 15
+# per row (values then fit the 16-bit packing; the terminal 2^16 of a
+# precision-16 row would not).
+
+
+def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
+                                nb_pull, sub, any_overflow):
+    """Builds the lane-major indexed decode kernel.
+
+    Static parameters:
+      num_symbols: symbols per stream.
+      parts_b: 128-lane parts of the packed window arrays (2 values/word).
+      parts_r: 128-lane parts of the per-row metadata vectors.
+      bs_iters: bucket binary-search iterations (covers the widest row).
+      nb_pull: number of 16-chunk source buckets the feed may start from.
+      sub: sublane tile height (streams per program = sub * 128).
+      any_overflow: include the escape/gamma machinery.
+    """
+
+    def kernel(src_ref, len_ref, idx_ref, w_ref, meta_ref, sym_ref,
+               san_ref):
+        def u2f(x):
+            hi = (x >> 16).astype(jnp.int32).astype(jnp.float32)
+            lo = (x & 0xFFFF).astype(jnp.int32).astype(jnp.float32)
+            return hi * jnp.float32(65536.0) + lo
+
+        def f2u(f):
+            return f.astype(jnp.int32).astype(jnp.uint32)
+
+        def mul_size(sm1, v):
+            h = sm1 >> 16
+            l = sm1 & 0xFFFF
+            p1 = h * v
+            p2a = l * v
+            p2 = p2a + v
+            c2 = (p2 < p2a).astype(jnp.uint32)
+            lo1 = p1 << 16
+            lo = lo1 + p2
+            c1 = (lo < lo1).astype(jnp.uint32)
+            return (p1 >> 16) + c2 + c1, lo
+
+        def mul_shift_v(sm1, v, prec):
+            hi, lo = mul_size(sm1, v)
+            return (hi << (jnp.uint32(32) - prec)) | (lo >> prec)
+
+        def mul_shift1(sm1, v):
+            hi, lo = mul_size(sm1, v)
+            return (hi << 31) | (lo >> 1)
+
+        def rep(row):  # (128,) -> (sub, 128)
+            return jnp.broadcast_to(row[None, :], (sub, 128))
+
+        def gather_w(j, g):
+            """Window value j at global bucket id g (16-bit packed)."""
+            word = g >> 1
+            lane = word & 127
+            pix = word >> 7
+            acc = jnp.take_along_axis(rep(w_ref[j, 0]), lane, axis=1)
+            for p in range(1, parts_b):
+                cand = jnp.take_along_axis(rep(w_ref[j, p]), lane, axis=1)
+                acc = jnp.where(pix == p, cand, acc)
+            return (acc >> ((g & 1) << 4)) & 0xFFFF
+
+        def gather_meta(a, r):
+            lane = r & 127
+            pix = r >> 7
+            acc = jnp.take_along_axis(rep(meta_ref[a, 0]), lane, axis=1)
+            for p in range(1, parts_r):
+                cand = jnp.take_along_axis(
+                    rep(meta_ref[a, p]), lane, axis=1)
+                acc = jnp.where(pix == p, cand, acc)
+            return acc
+
+        c0 = src_ref[0].astype(jnp.uint32)
+        c1 = src_ref[1].astype(jnp.uint32)
+        value0 = (c0 << 16) | c1
+
+        def pull_window(chunks_read):
+            b0 = jnp.minimum(chunks_read >> 4, nb_pull - 1)
+            window = [jnp.zeros_like(chunks_read)] * 32
+            for b in range(nb_pull):
+                m = b0 == b
+                for j in range(32):
+                    row = src_ref[16 * b + j]
+                    window[j] = jnp.where(m, row, window[j])
+            return tuple(window), b0 << 4
+
+        def ensure(window, base16, chunks_read):
+            need = jnp.any((chunks_read - base16) >= 32)
+            return jax.lax.cond(
+                need, lambda: pull_window(chunks_read),
+                lambda: (window, base16))
+
+        def fetch(window, base16, chunks_read):
+            offs = chunks_read - base16
+            ovf = offs >= 32
+            sel = list(window)
+            for bit in (16, 8, 4, 2, 1):
+                sel = [jnp.where(offs & bit != 0, sel[i + bit], sel[i])
+                       for i in range(bit)]
+            return jnp.where(ovf, 0, sel[0]).astype(jnp.uint32)
+
+        def refine(state, window, base16, a, b, mask):
+            base, sm1, value, chunks_read = state
+            nbse = base + a
+            ns = b - a
+            renorm = ((ns >> 16) == 0) & mask
+            chunk = fetch(window, base16, chunks_read)
+            base = jnp.where(mask, jnp.where(renorm, nbse << 16, nbse),
+                             base)
+            sm1 = jnp.where(
+                mask, jnp.where(renorm, (ns << 16) | 0xFFFF, ns), sm1)
+            value = jnp.where(renorm, (value << 16) | chunk, value)
+            chunks_read = chunks_read + jnp.where(renorm, 1, 0)
+            return base, sm1, value, chunks_read
+
+        def threshold(state, prec):
+            base, sm1, value, _ = state
+            vb1 = (value - base) + jnp.uint32(1)
+            wrapped = vb1 == 0
+            lb_hi = jnp.where(
+                wrapped, jnp.uint32(1) << prec,
+                vb1 >> (jnp.uint32(32) - prec))
+            lb_lo = vb1 << prec
+            lb_f = u2f(lb_hi) * jnp.float32(2.0**32) + u2f(lb_lo)
+            size_f = u2f(sm1) + 1.0
+            t0 = f2u(jnp.floor(lb_f / size_f))
+
+            def ok(c):
+                hi, lo = mul_size(sm1, c)
+                return (hi > lb_hi) | ((hi == lb_hi) & (lo >= lb_lo))
+
+            tm1 = jnp.where(t0 > 1, t0, jnp.uint32(1)) - 1
+            thr = jnp.where(
+                ok(tm1), tm1,
+                jnp.where(ok(t0), t0,
+                          jnp.where(ok(t0 + 1), t0 + 1, t0 + 2)))
+            return jnp.where(thr > 1, thr, jnp.uint32(1))
+
+        def dec_bin(state, window, base16, mask):
+            """One bit with the binary uniform CDF {0,1,2} at precision 1."""
+            base, sm1, value, _ = state
+            vb1 = (value - base) + jnp.uint32(1)
+            wrapped = vb1 == 0
+            lb_hi = jnp.where(wrapped, jnp.uint32(2), vb1 >> 31)
+            lb_lo = vb1 << 1
+            rhs_lo = sm1 + 1
+            rhs_hi = (rhs_lo == 0).astype(jnp.uint32)
+            ge = (rhs_hi > lb_hi) | ((rhs_hi == lb_hi) & (rhs_lo >= lb_lo))
+            bit = jnp.where(ge, jnp.uint32(0), jnp.uint32(1))
+            a = mul_shift1(sm1, bit)
+            b = mul_shift1(sm1, bit + 1) - 1
+            state = refine(state, window, base16, a, b, mask)
+            return state, bit
+
+        def gamma_decode(state, window, base16, active):
+            """Masked Elias-gamma magnitude + sign (OverflowDecode).
+
+            Loop masks are carried as int32 0/1 (Mosaic cannot legalize
+            i1 vectors in scf.yield region boundaries).
+            """
+
+            def ucond(c):
+                return jnp.any(c[3] != 0)
+
+            def ubody(c):
+                state, window, base16, act_i, n = c
+                act = act_i != 0
+                window, base16 = ensure(window, base16, state[3])
+                state, bit = dec_bin(state, window, base16, act)
+                cont = act & (bit == 0)
+                n = n + jnp.where(cont, 1, 0).astype(jnp.uint32)
+                act_i = jnp.where(cont & (n < 31), 1, 0)
+                return state, window, base16, act_i, n
+
+            n0 = jnp.zeros((sub, 128), jnp.uint32)
+            active_i = jnp.where(active, 1, 0)
+            state, window, base16, _, n = jax.lax.while_loop(
+                ucond, ubody, (state, window, base16, active_i, n0))
+
+            gval = jnp.where(active, jnp.uint32(1) << n, jnp.uint32(0))
+            k0 = jnp.where(active, n, jnp.uint32(0))
+
+            def bcond(c):
+                return jnp.any(c[3] > 0)
+
+            def bbody(c):
+                state, window, base16, k, gval = c
+                act = k > 0
+                window, base16 = ensure(window, base16, state[3])
+                state, bit = dec_bin(state, window, base16, act)
+                gval = jnp.where(act, gval | (bit << (k - 1)), gval)
+                k = jnp.where(act, k - 1, k)
+                return state, window, base16, k, gval
+
+            state, window, base16, _, gval = jax.lax.while_loop(
+                bcond, bbody, (state, window, base16, k0, gval))
+            window, base16 = ensure(window, base16, state[3])
+            state, sign = dec_bin(state, window, base16, active)
+            return state, window, base16, gval, sign
+
+        all_true = jnp.ones((sub, 128), bool)
+
+        def step(t, carry):
+            base, sm1, value, chunks_read, window, base16 = carry
+            window, base16 = ensure(window, base16, chunks_read)
+            state = (base, sm1, value, chunks_read)
+
+            row = idx_ref[t]
+            boff = gather_meta(0, row)
+            nbr = gather_meta(1, row)
+            misc = gather_meta(2, row)
+            prec = (misc & 31).astype(jnp.uint32)
+            mv = (misc >> 5) & 0x7FFF
+            ovf_r = ((misc >> 20) & 1) == 1
+
+            thr = threshold(state, prec)
+            thr_i = thr.astype(jnp.int32)  # <= 2**15: exact in i32
+
+            # Bucket-level lower_bound over the row's bucket-last values.
+            lo = jnp.full_like(row, -1)
+            hi = nbr - 1  # blast[nb-1] = 2^p >= t always
+            for _ in range(bs_iters):
+                mid = (lo + hi + 1) >> 1
+                blv = gather_w(16, boff + mid)
+                below = blv < thr_i
+                lo = jnp.where(below, mid, lo)
+                hi = jnp.where(below, hi, mid)
+            bsel = hi
+            g = boff + bsel
+
+            # Fine pass over the straddling bucket's 17-value window.
+            fine = jnp.zeros_like(row)
+            c_lo = jnp.zeros_like(row)
+            c_hi = jnp.full_like(row, 1 << 30)
+            for j in range(17):
+                v = gather_w(j, g)
+                below = v < thr_i
+                if j > 0:
+                    fine = fine + jnp.where(below, 1, 0)
+                c_lo = jnp.where(below, jnp.maximum(c_lo, v), c_lo)
+                c_hi = jnp.where(below, c_hi, jnp.minimum(c_hi, v))
+            pv = 16 * bsel + fine
+            sym = pv - 1
+
+            a = mul_shift_v(sm1, c_lo.astype(jnp.uint32), prec)
+            b = mul_shift_v(sm1, c_hi.astype(jnp.uint32), prec) - 1
+            state = refine(state, window, base16, a, b, all_true)
+
+            if any_overflow:
+                esc = ovf_r & (sym == mv)
+
+                def do_gamma():
+                    st2, w2, b2, gval, gsign = gamma_decode(
+                        state, window, base16, esc)
+                    gv = gval.astype(jnp.int32)
+                    s2 = jnp.where(
+                        esc, jnp.where(gsign == 1, -gv, gv + mv - 1), sym)
+                    return st2, w2, b2, s2
+
+                def skip():
+                    return state, window, base16, sym
+
+                state, window, base16, sym = jax.lax.cond(
+                    jnp.any(esc), do_gamma, skip)
+
+            sym_ref[t] = sym
+            base, sm1, value, chunks_read = state
+            return base, sm1, value, chunks_read, window, base16
+
+        chunks0 = jnp.full((sub, 128), 2, jnp.int32)
+        window0, base16_0 = pull_window(chunks0)
+        carry = (jnp.zeros_like(value0),
+                 jnp.full_like(value0, _MASK32),
+                 value0,
+                 chunks0,
+                 window0,
+                 base16_0)
+        carry = jax.lax.fori_loop(0, num_symbols, step, carry)
+        base, sm1, value, chunks_read = carry[:4]
+
+        # Weak decoder sanity (RangeDecoder::Finalize), int32 select form.
+        upper_end = base + sm1
+        straddle = upper_end < base
+        is24 = ((base - 1) >> 24) < (upper_end >> 24)
+        mid24 = (((base - 1) >> 24) + 1) << 24
+        mid16 = (((base - 1) >> 16) + 1) << 16
+        mid = jnp.where(is24, mid24, mid16)
+        ok_mid_i = jnp.where(mid == value, 1, 0)
+        zero_i = jnp.where(value == 0, 1, 0)
+        head_i = jnp.where((base == 0) | straddle, zero_i, ok_mid_i)
+        consumed_i = jnp.where(2 * chunks_read >= len_ref[:, :], 1, 0)
+        san_ref[:, :] = head_i * consumed_i
+
+    return kernel
+
+
+def _decode_indexed_tables(cdf, length, precision, overflow):
+    """Host prep: transposed packed window arrays + per-row metadata.
+
+    Returns (w_packed int32 [17, parts_b, 128], meta int32 [3, parts_r,
+    128], max_nb).  meta rows: 0 = bucket offset, 1 = bucket count,
+    2 = precision | (escape value << 5) | (overflow << 20).
+    """
+    cdf = np.asarray(cdf, np.int64)
+    length = np.asarray(length, np.int64)
+    precision = np.asarray(precision, np.int64)
+    overflow = np.asarray(overflow, bool)
+    num_rows = cdf.shape[0]
+    if (precision > 15).any():
+        raise ValueError("indexed kernel requires precision <= 15")
+
+    wins = []
+    boffs = np.zeros(num_rows, np.int64)
+    nbs = np.zeros(num_rows, np.int64)
+    total = 0
+    for r in range(num_rows):
+        row = cdf[r, : length[r]]
+        nb_r = max(-(-len(row) // 16), 1)
+        terminal = row[-1]
+        padded = np.concatenate(
+            [row, np.full(16 * nb_r - len(row), terminal, np.int64)])
+        buckets = padded.reshape(nb_r, 16)
+        win = np.zeros((nb_r, 17), np.int64)
+        win[:, 0] = np.concatenate([[0], buckets[:-1, -1]])
+        win[:, 1:] = buckets
+        wins.append(win)
+        boffs[r] = total
+        nbs[r] = nb_r
+        total += nb_r
+    w = np.concatenate(wins, axis=0)  # [B, 17]
+
+    parts_b = max(-(-total // 256), 1)
+    wt = np.zeros((17, parts_b * 256), np.int64)
+    wt[:, :total] = w.T
+    w_packed = (wt[:, 0::2] | (wt[:, 1::2] << 16)).astype(
+        np.uint32).astype(np.int64).astype(np.int32)
+    w_packed = w_packed.reshape(17, parts_b, 128)
+
+    parts_r = max(-(-num_rows // 128), 1)
+    meta = np.zeros((3, parts_r * 128), np.int64)
+    meta[0, :num_rows] = boffs
+    meta[1, :num_rows] = nbs
+    meta[2, :num_rows] = (precision | ((length - 2) << 5)
+                          | (overflow.astype(np.int64) << 20))
+    meta = meta.astype(np.int32).reshape(3, parts_r, 128)
+    return w_packed, meta, int(nbs.max())
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _decode_indexed_call(src16, byte_lens, indexes, w_packed, meta,
+                         num_symbols, bs_iters, any_overflow, sub):
+    num_streams, nchunks = src16.shape
+    nsub = num_streams // 128
+    parts_b = w_packed.shape[1]
+    parts_r = meta.shape[1]
+
+    nb_pull = max((nchunks + 16) // 16, 1) + 1
+    c_pad = 16 * nb_pull + 32
+    src_t = jnp.zeros((c_pad, nsub, 128), jnp.int32)
+    src_t = src_t.at[:nchunks].set(
+        jnp.asarray(src16, jnp.uint32).astype(jnp.int32)
+        .T.reshape(nchunks, nsub, 128))
+    len2 = jnp.asarray(byte_lens, jnp.int32).reshape(nsub, 128)
+    idx_t = jnp.asarray(indexes, jnp.int32).T.reshape(
+        num_symbols, nsub, 128)
+
+    grid = (nsub // sub,)
+    kernel = _make_decode_kernel_indexed(
+        num_symbols, parts_b, parts_r, bs_iters, nb_pull, sub,
+        any_overflow)
+    sym, san = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((c_pad, sub, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_symbols, sub, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((17, parts_b, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, parts_r, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((num_symbols, sub, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_symbols, nsub, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nsub, 128), jnp.int32),
+        ],
+    )(src_t, len2, idx_t, w_packed, meta)
+    sym = sym.reshape(num_symbols, nsub * 128).T
+    return sym, san.reshape(-1) != 0
+
+
+def decode_indexed_pallas(src16, byte_lens, indexes, num_symbols, table,
+                          sub=8):
+    """Lane-major Pallas decode with per-element CDF rows (+ overflow).
+
+    Args:
+      src16: uint32/int32 [S, C] 16-bit chunk buffers (S % (sub*128) == 0).
+      byte_lens: int32 [S] byte lengths (for the sanity check only).
+      indexes: int32 [S, num_symbols] CDF row per element.
+      num_symbols: symbols per stream.
+      table: DeviceCdfTable (all row precisions <= 15).
+      sub: sublane tile height per program.
+
+    Returns:
+      (symbols int32 [S, num_symbols], sanity bool [S]).
+    """
+    num_streams = src16.shape[0]
+    if num_streams % (sub * 128):
+        raise ValueError(f"num_streams {num_streams} % {sub * 128} != 0")
+    cached = getattr(table, "_indexed_kernel_tables", None)
+    if cached is None:
+        w_packed, meta, max_nb = _decode_indexed_tables(
+            np.asarray(table.cdf), np.asarray(table.length),
+            np.asarray(table.precision), np.asarray(table.overflow))
+        cached = (jnp.asarray(w_packed), jnp.asarray(meta), max_nb)
+        try:
+            table._indexed_kernel_tables = cached
+        except AttributeError:
+            pass
+    w_packed, meta, max_nb = cached
+    bs_iters = max(int(np.ceil(np.log2(max_nb))), 0) if max_nb > 1 else 0
+    any_overflow = bool(np.asarray(table.overflow).any())
+    return _decode_indexed_call(
+        src16, byte_lens, indexes, w_packed, meta, int(num_symbols),
+        bs_iters, any_overflow, int(sub))
 
 
 # -----------------------------------------------------------------------------

@@ -329,10 +329,8 @@ class ContinuousBatchedEntropyModel(continuous_base.ContinuousEntropyModelBase):
         num_rows = int(self.cdf_offset.shape[0])
         n = int(np.prod(broadcast_shape)) * int(np.prod(self.prior_shape))
         row_ids = jnp_.arange(n, dtype=jnp_.int32) % num_rows
-        indexes = jnp_.broadcast_to(row_ids, (src16.shape[0], n))
-        symbols, sanity = jax_coder.decode_core(
-            src16, byte_lens, indexes, n, table.cdf, table.length,
-            table.precision, table.overflow, None, table.any_overflow)
+        symbols, sanity = jax_coder.decode_dispatch(
+            src16, byte_lens, n, table, None)
         symbols = symbols + jnp_.asarray(self.cdf_offset)[row_ids][None]
         outputs = symbols.reshape(
             (src16.shape[0],) + broadcast_shape + self.prior_shape

@@ -290,9 +290,8 @@ class ContinuousIndexedEntropyModel(continuous_base.ContinuousEntropyModelBase):
         num_streams = int(np.prod(batch_shape)) if batch_shape else 1
         n = int(np.prod(out_shape[len(batch_shape):]))
         idx2 = flat_indexes.reshape(num_streams, n)
-        symbols, sanity = jax_coder.decode_core(
-            src16, byte_lens, idx2, n, table.cdf, table.length,
-            table.precision, table.overflow, None, table.any_overflow)
+        symbols, sanity = jax_coder.decode_dispatch(
+            src16, byte_lens, n, table, idx2)
         symbols = symbols + jnp.asarray(self.cdf_offset)[idx2]
         return (symbols.reshape(out_shape).astype(self.bottleneck_dtype),
                 sanity)

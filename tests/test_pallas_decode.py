@@ -115,6 +115,90 @@ def test_decode_kernel_v2_matches_oracle(n_elements, monkeypatch):
     assert (san_out != 0).all()
 
 
+@pytest.mark.parametrize("n_elements", [37, 64])
+def test_decode_kernel_indexed_matches_oracle(n_elements, monkeypatch):
+    """Indexed kernel body: per-element rows, overflow escapes, mixed
+    precisions — exact symbols + sanity, eagerly on CPU (like the v2
+    oracle test; interpret mode is too slow for these kernels)."""
+    S, N, sub = 256, n_elements, 2
+    rng = np.random.RandomState(11)
+    precisions = [8, 10, 12, 13, 15]
+    overflows = [True, False, True, False, True]
+    rows = []
+    for p, _ in zip(precisions, overflows):
+        alphabet = rng.randint(3, 40)
+        pmf = rng.dirichlet(np.ones(alphabet))
+        rows.append(tables.pmf_to_quantized_cdf(pmf, p))
+    t = tables.parse_ragged_cdf(
+        tables.build_ragged_cdf(rows, precisions, overflows))
+    lens = np.asarray(t.length)
+
+    idx = rng.randint(0, len(rows), (S, N)).astype(np.int32)
+    # Overflow rows: heavy-tailed values (escapes incl. negatives);
+    # plain rows: clipped in-range values.
+    sym = np.round(rng.laplace(0, 9, (S, N))).astype(np.int32)
+    mv = lens[idx] - 2
+    ovf = np.asarray(t.overflow)[idx]
+    sym = np.where(ovf, sym, np.clip(np.abs(sym), 0, mv))
+    assert (ovf & ((sym < 0) | (sym >= mv))).any(), "no escapes exercised"
+
+    buf, lengths = jax_coder.encode_streams(sym, t, idx)
+    src16 = np.asarray(jax_coder.bytes_to_chunks(buf, lengths))
+
+    def eager_fori(lo, hi, body, init):
+        carry = init
+        for i in range(int(lo), int(hi)):
+            carry = body(i, carry)
+        return carry
+
+    def eager_while(cond, body, init):
+        carry = init
+        while bool(cond(carry)):
+            carry = body(carry)
+        return carry
+
+    def eager_cond(pred, tfn, ffn):
+        return tfn() if bool(pred) else ffn()
+
+    monkeypatch.setattr(pallas_coder.jax.lax, "fori_loop", eager_fori)
+    monkeypatch.setattr(pallas_coder.jax.lax, "while_loop", eager_while)
+    monkeypatch.setattr(pallas_coder.jax.lax, "cond", eager_cond)
+
+    w_packed, meta, max_nb = pallas_coder._decode_indexed_tables(
+        np.asarray(t.cdf), lens, np.asarray(t.precision),
+        np.asarray(t.overflow))
+    bs_iters = max(int(np.ceil(np.log2(max_nb))), 0) if max_nb > 1 else 0
+
+    nchunks = src16.shape[1]
+    nb_pull = max((nchunks + 16) // 16, 1) + 1
+    c_pad = 16 * nb_pull + 32
+    nsub = S // 128
+    src_t = np.zeros((c_pad, nsub, 128), np.int32)
+    src_t[:nchunks] = src16.astype(np.uint32).astype(
+        np.int64).T.reshape(nchunks, nsub, 128)
+    idx_t = idx.T.reshape(N, nsub, 128)
+    kernel = pallas_coder._make_decode_kernel_indexed(
+        N, w_packed.shape[1], meta.shape[1], bs_iters, nb_pull, sub, True)
+
+    sym_out = np.zeros((N, nsub, 128), np.int32)
+    san_out = np.zeros((nsub, 128), np.int32)
+    for i in range(nsub // sub):
+        blk = slice(i * sub, (i + 1) * sub)
+        sym_blk = np.zeros((N, sub, 128), np.int32)
+        san_blk = np.zeros((sub, 128), np.int32)
+        kernel(_FakeRef(src_t[:, blk]),
+               _FakeRef(np.asarray(lengths).reshape(nsub, 128)[blk]),
+               _FakeRef(idx_t[:, blk]),
+               _FakeRef(w_packed), _FakeRef(meta),
+               _FakeRef(sym_blk), _FakeRef(san_blk))
+        sym_out[:, blk] = sym_blk
+        san_out[blk] = san_blk
+
+    got = sym_out.reshape(N, S).T
+    np.testing.assert_array_equal(got, sym)
+    assert (san_out != 0).all()
+
+
 class TestPairLookupKernel:
     def test_interpret_matches_direct_indexing(self):
         from jax.experimental import pallas as pl
