@@ -890,6 +890,108 @@ def _encode_streams_jit(symbols, indexes, table, slots, num_steps, out_size):
     return encode_core(*ops, out_size)
 
 
+# -----------------------------------------------------------------------------
+# Sidecar escape mode (TPU-native container variant)
+# -----------------------------------------------------------------------------
+# The reference codes out-of-range values as an in-stream escape symbol
+# followed by Elias-gamma magnitude + sign bits (range_coder_kernels.cc:
+# 290-322).  In-stream gamma poisons SIMD decode: with thousands of coder
+# lanes, SOME lane escapes on nearly every step, so the whole tile pays the
+# variable-length gamma machinery.  Sidecar mode moves the escape payload
+# out of band: the stream carries only the escape marker symbol (whose
+# probability is the table's tail mass, as in the reference), and the
+# (position, value) pairs travel as two small int32 arrays in the
+# container.  Decode then runs the cond-free segment kernel.  Compressed
+# size is within a few bytes of the reference format (the same gamma bits,
+# stored raw); reconstruction is exact.
+
+
+def encode_streams_sidecar(symbols, table, indexes=None):
+    """Encodes with escapes as bare markers + an out-of-band sidecar.
+
+    Args:
+      symbols: int32 [S, N] (values may be outside row ranges).
+      table: CdfTable or DeviceCdfTable.
+      indexes: optional int32 [S, N] CDF row per element (channel mode
+        ``j % num_rows`` when None).
+
+    Returns:
+      (bytes [S, L] uint8, lengths [S] int32,
+       esc_pos int32 [K, 2] (stream, element), esc_val int32 [K]).
+    """
+    if isinstance(table, tables.CdfTable):
+        table = DeviceCdfTable(table)
+    symbols = np.asarray(symbols, np.int32)
+    num_streams, n = symbols.shape
+    if indexes is None:
+        indexes = np.broadcast_to(
+            np.arange(n, dtype=np.int32) % table.num_rows, (num_streams, n))
+    indexes = np.asarray(indexes, np.int32)
+
+    len_np = np.asarray(table.length)
+    ovf_np = np.asarray(table.overflow)
+    mv = len_np[indexes] - 2
+    escape = ovf_np[indexes] & ((symbols < 0) | (symbols >= mv))
+    s_ix, e_ix = np.nonzero(escape)
+    esc_pos = np.stack([s_ix, e_ix], axis=1).astype(np.int32)
+    esc_val = symbols[escape].astype(np.int32)
+
+    # slots=1 encodes exactly the marker interval for escaping elements
+    # (micro_ops_from_symbols maps them to the escape symbol and the
+    # single-slot path emits no gamma ops).
+    num_steps = max(int(_round_up(max(n, 1), 64)), 64)
+    out_size = _round_up(2 * num_steps + 2, 4)
+    buf, lengths = _encode_streams_jit(
+        jnp.asarray(symbols), jnp.asarray(indexes), table, 1, num_steps,
+        out_size)
+    return np.asarray(buf), np.asarray(lengths), esc_pos, esc_val
+
+
+def decode_streams_sidecar(byte_buf, byte_lens, num_elements, table,
+                           esc_pos, esc_val, indexes=None):
+    """Decodes sidecar-mode streams (see encode_streams_sidecar)."""
+    if isinstance(table, tables.CdfTable):
+        table = DeviceCdfTable(table)
+    byte_lens = np.asarray(byte_lens, np.int32)
+    num_streams = np.asarray(byte_buf).shape[0]
+    src16 = bytes_to_chunks(byte_buf, byte_lens)
+
+    if indexes is None:
+        indexes = np.broadcast_to(
+            np.arange(num_elements, dtype=np.int32) % table.num_rows,
+            (num_streams, num_elements))
+    indexes = np.asarray(indexes, np.int32)
+
+    sub = _indexed_kernel_sub(num_elements, np.asarray(src16).shape[1])
+    if _pallas_indexed_applicable(table, in_stream_gamma=False) \
+            and sub is not None:
+        from compression_tpu.codec import pallas_coder
+
+        pad = (-num_streams) % (sub * 128)
+        src_p = np.pad(np.asarray(src16), ((0, pad), (0, 0))) if pad \
+            else src16
+        len_p = np.pad(byte_lens, (0, pad)) if pad else byte_lens
+        idx_p = np.pad(indexes, ((0, pad), (0, 0))) if pad else indexes
+        symbols, sanity = pallas_coder.decode_indexed_pallas(
+            jnp.asarray(src_p), jnp.asarray(len_p), jnp.asarray(idx_p),
+            int(num_elements), table, sub=sub, in_stream_gamma=False)
+        symbols = np.asarray(symbols)[:num_streams]
+        sanity = np.asarray(sanity)[:num_streams]
+    else:
+        symbols, sanity = decode_core(
+            jnp.asarray(src16), jnp.asarray(byte_lens),
+            jnp.asarray(indexes), int(num_elements), table.cdf,
+            table.length, table.precision, table.overflow, None, False)
+        symbols, sanity = np.asarray(symbols), np.asarray(sanity)
+
+    symbols = np.array(symbols)
+    esc_pos = np.asarray(esc_pos, np.int32).reshape(-1, 2)
+    if esc_pos.size:
+        symbols[esc_pos[:, 0], esc_pos[:, 1]] = np.asarray(
+            esc_val, np.int32)
+    return symbols, sanity
+
+
 class _HashableArray:
     """Wraps a host ndarray as a hashable static jit argument."""
 
@@ -949,7 +1051,7 @@ def _pallas_decode_applicable(table) -> bool:
             and not bool(table.any_overflow))
 
 
-def _pallas_indexed_applicable(table) -> bool:
+def _pallas_indexed_applicable(table, in_stream_gamma=None) -> bool:
     """True when the indexed Pallas decode kernel can serve this table.
 
     Handles any row-per-element table (incl. overflow/escape rows) with
@@ -965,14 +1067,29 @@ def _pallas_indexed_applicable(table) -> bool:
         return False
     if int(np.asarray(table.precision).max()) > 15:
         return False
-    if not bool(table.any_overflow):
-        # The no-overflow build currently trips a Mosaic scf.if layout
-        # unification bug; EM tables are always overflow mode anyway.
-        return False
+    if in_stream_gamma is None:
+        in_stream_gamma = bool(table.any_overflow)
     # Total bucket count caps the packed window parts (gather cost).
     total_buckets = int(
         np.sum(-(-np.asarray(table.length) // 16)))
     return total_buckets <= 16384 and int(table.num_rows) <= 4096
+
+
+def _indexed_kernel_sub(num_elements, nchunks):
+    """Largest sublane tile height whose VMEM blocks fit, or None.
+
+    Per program the kernel holds the chunk buffer, the index block and the
+    symbol output block in VMEM: ~(c_pad + 2N) * sub * 512 bytes.  Long
+    single streams (the reference's one-stream-per-image containers) do
+    not fit and take the XLA scan instead.
+    """
+    nb_pull = max((int(nchunks) + 16) // 16, 1) + 1
+    c_pad = 16 * nb_pull + 32
+    per_sub = (c_pad + 2 * int(num_elements)) * 128 * 4
+    for sub in (16, 8, 4, 2, 1):
+        if per_sub * sub <= 6 * 1024 * 1024:
+            return sub
+    return None
 
 
 def decode_dispatch(src16, byte_lens, num_elements, table, indexes=None):
@@ -1003,10 +1120,10 @@ def decode_dispatch(src16, byte_lens, num_elements, table, indexes=None):
             jnp.arange(num_elements, dtype=jnp.int32) % table.num_rows,
             (num_streams, num_elements))
 
-    if _pallas_indexed_applicable(table):
+    sub = _indexed_kernel_sub(num_elements, src16.shape[1])
+    if _pallas_indexed_applicable(table) and sub is not None:
         from compression_tpu.codec import pallas_coder
 
-        sub = 8
         pad = (-num_streams) % (sub * 128)
         if pad:
             src_p = jnp.pad(src16, ((0, pad), (0, 0)))

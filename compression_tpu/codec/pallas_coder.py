@@ -878,12 +878,8 @@ def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
 
         all_true = jnp.ones((sub, 128), bool)
 
-        def step(t, carry):
-            base, sm1, value, chunks_read, window, base16 = carry
-            window, base16 = ensure(window, base16, chunks_read)
-            state = (base, sm1, value, chunks_read)
-
-            row = idx_ref[t]
+        def search(state, row, window, base16):
+            """One indexed symbol decode (search + interval refinement)."""
             boff = gather_meta(0, row)
             nbr = gather_meta(1, row)
             misc = gather_meta(2, row)
@@ -920,11 +916,54 @@ def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
             pv = 16 * bsel + fine
             sym = pv - 1
 
+            sm1 = state[1]
             a = mul_shift_v(sm1, c_lo.astype(jnp.uint32), prec)
             b = mul_shift_v(sm1, c_hi.astype(jnp.uint32), prec) - 1
             state = refine(state, window, base16, a, b, all_true)
+            return state, sym, mv, ovf_r
 
-            if any_overflow:
+        chunks0 = jnp.full((sub, 128), 2, jnp.int32)
+
+        if not any_overflow:
+            # No in-stream gamma: every step consumes at most one chunk,
+            # so a 32-chunk register window covers a 16-step segment and
+            # the whole loop runs without a single scf.cond/while (their
+            # region boundaries spill the carried window and dominate the
+            # step cost; see the overflow variant below).
+            seg_count = num_symbols // 16
+
+            def one_step(carry, window, base16, t):
+                state = carry
+                state, sym, _, _ = search(state, idx_ref[t], window,
+                                          base16)
+                sym_ref[t] = sym
+                return state
+
+            def segment(seg, carry):
+                window, base16 = pull_window(carry[3])
+                for k in range(16):
+                    carry = one_step(carry, window, base16, seg * 16 + k)
+                return carry
+
+            carry = (jnp.zeros_like(value0),
+                     jnp.full_like(value0, _MASK32),
+                     value0,
+                     chunks0)
+            carry = jax.lax.fori_loop(0, seg_count, segment, carry)
+            rem = num_symbols - 16 * seg_count
+            if rem:
+                window, base16 = pull_window(carry[3])
+                for k in range(rem):
+                    carry = one_step(carry, window, base16,
+                                     16 * seg_count + k)
+            base, sm1, value, chunks_read = carry
+        else:
+            def step(t, carry):
+                base, sm1, value, chunks_read, window, base16 = carry
+                window, base16 = ensure(window, base16, chunks_read)
+                state = (base, sm1, value, chunks_read)
+                state, sym, mv, ovf_r = search(state, idx_ref[t], window,
+                                               base16)
                 esc = ovf_r & (sym == mv)
 
                 def do_gamma():
@@ -941,20 +980,19 @@ def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
                 state, window, base16, sym = jax.lax.cond(
                     jnp.any(esc), do_gamma, skip)
 
-            sym_ref[t] = sym
-            base, sm1, value, chunks_read = state
-            return base, sm1, value, chunks_read, window, base16
+                sym_ref[t] = sym
+                base, sm1, value, chunks_read = state
+                return base, sm1, value, chunks_read, window, base16
 
-        chunks0 = jnp.full((sub, 128), 2, jnp.int32)
-        window0, base16_0 = pull_window(chunks0)
-        carry = (jnp.zeros_like(value0),
-                 jnp.full_like(value0, _MASK32),
-                 value0,
-                 chunks0,
-                 window0,
-                 base16_0)
-        carry = jax.lax.fori_loop(0, num_symbols, step, carry)
-        base, sm1, value, chunks_read = carry[:4]
+            window0, base16_0 = pull_window(chunks0)
+            carry = (jnp.zeros_like(value0),
+                     jnp.full_like(value0, _MASK32),
+                     value0,
+                     chunks0,
+                     window0,
+                     base16_0)
+            carry = jax.lax.fori_loop(0, num_symbols, step, carry)
+            base, sm1, value, chunks_read = carry[:4]
 
         # Weak decoder sanity (RangeDecoder::Finalize), int32 select form.
         upper_end = base + sm1
@@ -1049,6 +1087,11 @@ def _decode_indexed_call(src16, byte_lens, indexes, w_packed, meta,
     sym, san = pl.pallas_call(
         kernel,
         grid=grid,
+        # Raise the scoped-vmem budget: XLA sometimes places the full
+        # (num_symbols, nsub, 128) result in VMEM and overflows the
+        # default 16M limit by a hair at larger stream counts.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((c_pad, sub, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -1077,7 +1120,7 @@ def _decode_indexed_call(src16, byte_lens, indexes, w_packed, meta,
 
 
 def decode_indexed_pallas(src16, byte_lens, indexes, num_symbols, table,
-                          sub=8):
+                          sub=8, in_stream_gamma=None):
     """Lane-major Pallas decode with per-element CDF rows (+ overflow).
 
     Args:
@@ -1087,6 +1130,13 @@ def decode_indexed_pallas(src16, byte_lens, indexes, num_symbols, table,
       num_symbols: symbols per stream.
       table: DeviceCdfTable (all row precisions <= 15).
       sub: sublane tile height per program.
+      in_stream_gamma: whether escaped symbols are followed by in-stream
+        Elias-gamma magnitude + sign bits (the reference byte format).
+        Default: derived from the table's overflow flags.  Pass False for
+        sidecar-mode streams (escape values coded out of band): the decode
+        then runs the cond-free segment kernel, which is several times
+        faster, and returns the escape marker (row_length - 2) as the
+        symbol.
 
     Returns:
       (symbols int32 [S, num_symbols], sanity bool [S]).
@@ -1106,10 +1156,11 @@ def decode_indexed_pallas(src16, byte_lens, indexes, num_symbols, table,
             pass
     w_packed, meta, max_nb = cached
     bs_iters = max(int(np.ceil(np.log2(max_nb))), 0) if max_nb > 1 else 0
-    any_overflow = bool(np.asarray(table.overflow).any())
+    if in_stream_gamma is None:
+        in_stream_gamma = bool(np.asarray(table.overflow).any())
     return _decode_indexed_call(
         src16, byte_lens, indexes, w_packed, meta, int(num_symbols),
-        bs_iters, any_overflow, int(sub))
+        bs_iters, bool(in_stream_gamma), int(sub))
 
 
 # -----------------------------------------------------------------------------

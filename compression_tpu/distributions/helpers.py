@@ -66,7 +66,10 @@ def estimate_tails(func, target, shape, dtype=jnp.float32):
         init_tails,
         jnp.full(shape, jnp.finfo(dtype).max, dtype),
     )
-    state = jax.lax.while_loop(cond, body, init)
+    # Compile the whole iteration as one program: eagerly dispatched
+    # while_loops hit per-op execution paths some TPU runtimes do not
+    # implement (deferred "UNIMPLEMENTED" surfacing at the first transfer).
+    state = jax.jit(lambda i: jax.lax.while_loop(cond, body, i))(init)
     return state[-2]
 
 

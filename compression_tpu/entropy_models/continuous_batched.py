@@ -250,6 +250,53 @@ class ContinuousBatchedEntropyModel(continuous_base.ContinuousEntropyModelBase):
             outputs = outputs + offset
         return outputs
 
+    def compress_sidecar(self, bottleneck):
+        """Compresses in sidecar escape mode (TPU-native container).
+
+        Escaped (out-of-table-range) values are coded in the stream only
+        as the escape marker; their actual values travel out of band.
+        Decode then runs the fast cond-free Pallas kernel (see
+        jax_coder.encode_streams_sidecar).
+
+        Returns:
+          (bytes [batch..., L] uint8, lengths [batch...] int32,
+           esc_pos int32 [K, 2] (flat stream, element), esc_val int32 [K]).
+        """
+        self._check_compression()
+        bottleneck = jnp.asarray(bottleneck, self.bottleneck_dtype)
+        symbols, batch_shape = self._symbols_from_bottleneck(bottleneck)
+        buf, lengths, esc_pos, esc_val = jax_coder.encode_streams_sidecar(
+            np.asarray(symbols), self.device_table)
+        return (buf.reshape(batch_shape + buf.shape[-1:]),
+                lengths.reshape(batch_shape), esc_pos, esc_val)
+
+    def decompress_sidecar(self, buf, lengths, broadcast_shape, esc_pos,
+                           esc_val):
+        """Decompresses sidecar-mode streams (see compress_sidecar)."""
+        self._check_compression()
+        broadcast_shape = tuple(int(s) for s in broadcast_shape)
+        buf = np.asarray(buf, np.uint8)
+        lens = np.asarray(lengths, np.int32)
+        batch_shape = lens.shape
+        buf = buf.reshape(-1, buf.shape[-1])
+        lens = lens.reshape(-1)
+        num_rows = int(self.cdf_offset.shape[0])
+        n = int(np.prod(broadcast_shape)) * int(np.prod(self.prior_shape))
+        symbols, sanity = jax_coder.decode_streams_sidecar(
+            buf, lens, n, self.device_table, esc_pos, esc_val)
+        if self.decode_sanity_check and not np.all(sanity):
+            raise ValueError("Sanity check failed (corrupt bit streams).")
+        row_ids = np.arange(n, dtype=np.int32) % num_rows
+        symbols = symbols + np.asarray(self.cdf_offset)[row_ids][None, :]
+        outputs = symbols.reshape(
+            batch_shape + broadcast_shape + self.prior_shape).astype(
+                np.dtype(jnp.dtype(self.bottleneck_dtype).name))
+        outputs = jnp.asarray(outputs)
+        offset = self.quantization_offset
+        if offset is not None:
+            outputs = outputs + offset
+        return outputs
+
     def compress_device(self, bottleneck, max_gamma_bits=16):
         """Fully traced compress: runs inside jit, end to end on device.
 

@@ -217,6 +217,49 @@ class ContinuousIndexedEntropyModel(continuous_base.ContinuousEntropyModelBase):
             symbols.reshape(out_shape), self.bottleneck_dtype)
 
 
+    def compress_sidecar(self, bottleneck, indexes):
+        """Compresses in sidecar escape mode (TPU-native container).
+
+        See ContinuousBatchedEntropyModel.compress_sidecar.
+        """
+        self._check_compression()
+        bottleneck = jnp.asarray(bottleneck, self.bottleneck_dtype)
+        indexes = self._normalize_indexes(
+            jnp.asarray(indexes, self.prior_dtype))
+        flat_indexes = self._flatten_indexes(indexes)
+        batch_shape = flat_indexes.shape[
+            : flat_indexes.ndim - self.coding_rank]
+        num_streams = int(np.prod(batch_shape)) if batch_shape else 1
+        symbols = jnp.round(bottleneck).astype(jnp.int32)
+        symbols = symbols - jnp.asarray(self.cdf_offset)[flat_indexes]
+        symbols2 = np.asarray(symbols.reshape(num_streams, -1))
+        indexes2 = np.asarray(flat_indexes.reshape(num_streams, -1))
+        buf, lengths, esc_pos, esc_val = jax_coder.encode_streams_sidecar(
+            symbols2, self.device_table, indexes2)
+        return (buf.reshape(batch_shape + buf.shape[-1:]),
+                lengths.reshape(batch_shape), esc_pos, esc_val)
+
+    def decompress_sidecar(self, buf, lengths, indexes, esc_pos, esc_val):
+        """Decompresses sidecar-mode streams (see compress_sidecar)."""
+        self._check_compression()
+        indexes = self._normalize_indexes(
+            jnp.asarray(indexes, self.prior_dtype))
+        flat_indexes = self._flatten_indexes(indexes)
+        out_shape = flat_indexes.shape
+        batch_shape = out_shape[: flat_indexes.ndim - self.coding_rank]
+        num_streams = int(np.prod(batch_shape)) if batch_shape else 1
+        n = int(np.prod(out_shape[len(batch_shape):]))
+        buf = np.asarray(buf, np.uint8).reshape(num_streams, -1)
+        lens = np.asarray(lengths, np.int32).reshape(num_streams)
+        indexes2 = np.asarray(flat_indexes.reshape(num_streams, n))
+        symbols, sanity = jax_coder.decode_streams_sidecar(
+            buf, lens, n, self.device_table, esc_pos, esc_val, indexes2)
+        if self.decode_sanity_check and not np.all(sanity):
+            raise ValueError("Sanity check failed (corrupt bit streams).")
+        symbols = symbols + np.asarray(self.cdf_offset)[indexes2]
+        return jnp.asarray(
+            symbols.reshape(out_shape), self.bottleneck_dtype)
+
     def compress_device(self, bottleneck, indexes, max_gamma_bits=16):
         """Fully traced indexed compress: runs inside jit, end to end.
 
@@ -360,6 +403,19 @@ class LocationScaleIndexedEntropyModel(ContinuousIndexedEntropyModel):
                    lengths=None):
         values = super().decompress(strings_or_buf, scale_indexes,
                                     lengths=lengths)
+        if loc is not None:
+            values = values + loc
+        return values
+
+    def compress_sidecar(self, bottleneck, scale_indexes, loc=None):
+        if loc is not None:
+            bottleneck = bottleneck - loc
+        return super().compress_sidecar(bottleneck, scale_indexes)
+
+    def decompress_sidecar(self, buf, lengths, scale_indexes, esc_pos,
+                           esc_val, loc=None):
+        values = super().decompress_sidecar(
+            buf, lengths, scale_indexes, esc_pos, esc_val)
         if loc is not None:
             values = values + loc
         return values

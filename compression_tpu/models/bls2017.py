@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from compression_tpu.codec import jax_coder
 from compression_tpu.distributions import deep_factorized, uniform_noise
 from compression_tpu.entropy_models import ContinuousBatchedEntropyModel
 from compression_tpu.layers import GDN, SignalConv2D
@@ -207,12 +208,48 @@ class BLS2017Codec:
         packed.pack([strings, x_shape, y_shape])
         return packed.string
 
+    def compress_native(self, x) -> bytes:
+        """TPU-native container: one coder stream per latent row + escape
+        sidecar.
+
+        Same model and tables as `compress`, but the latent is split into
+        many independent coder streams (the axis the TPU kernels scale
+        across) and out-of-range values are coded out of band, so both
+        ends stay on the wide cond-free Pallas path.  Not byte-compatible
+        with the reference .tfci format; `decompress` auto-detects the
+        container kind.
+        """
+        x = jnp.asarray(x, jnp.float32)[None]
+        y = self._analysis(self.params, x)
+        x_shape = np.asarray(x.shape[1:-1], np.int32)
+        y_shape = np.asarray(y.shape[1:-1], np.int32)
+        h = int(y.shape[1])
+        y_rows = y[0].reshape(h, 1, y.shape[2], y.shape[3])
+        buf, lengths, esc_pos, esc_val = self.em.compress_sidecar(y_rows)
+        strings = jax_coder.to_bytes_list(buf, lengths)
+        packed = PackedTensors()
+        packed.model = self.MODEL_ID
+        packed.pack([strings, x_shape, y_shape,
+                     esc_pos.ravel().astype(np.int32),
+                     esc_val.astype(np.int32)])
+        return packed.string
+
     def decompress(self, container: bytes) -> np.ndarray:
         packed = PackedTensors(container)
         assert packed.model == self.MODEL_ID
-        strings, x_shape, y_shape = packed.unpack(
-            ["bytes", np.int32, np.int32])
-        y_hat = self.em.decompress(strings, tuple(y_shape))
+        if packed.num_tensors == 5:  # native multi-stream container
+            strings, x_shape, y_shape, esc_flat, esc_val = packed.unpack(
+                ["bytes", np.int32, np.int32, np.int32, np.int32])
+            buf, lens = jax_coder.from_bytes_list(strings)
+            h, w = int(y_shape[0]), int(y_shape[1])
+            y_rows = self.em.decompress_sidecar(
+                buf, lens, (1, w), esc_flat.reshape(-1, 2), esc_val)
+            y_hat = jnp.asarray(y_rows).reshape(
+                1, h, w, y_rows.shape[-1])
+        else:
+            strings, x_shape, y_shape = packed.unpack(
+                ["bytes", np.int32, np.int32])
+            y_hat = self.em.decompress(strings, tuple(y_shape))
         x_hat = self._synthesis(self.params, y_hat)
         x_hat = np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
         return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)

@@ -246,15 +246,73 @@ class BMSHJ2018Codec:
         packed.pack([strings, side_strings, x_shape, y_shape, z_shape])
         return packed.string
 
+    def compress_native(self, x) -> bytes:
+        """TPU-native container: row streams + escape sidecars for both
+        the latent and the hyper-latent (see BLS2017Codec.compress_native).
+        """
+        from compression_tpu.codec import jax_coder
+
+        x = jnp.asarray(x, jnp.float32)[None]
+        y, z = self._encode(self.params, x)
+        x_shape = np.asarray(x.shape[1:-1], np.int32)
+        y_shape = np.asarray(y.shape[1:-1], np.int32)
+        z_shape = np.asarray(z.shape[1:-1], np.int32)
+        z_hat = self.side_em.quantize(z)
+        indexes = self._hyper_decode(self.params, z_hat)
+        indexes = indexes[:, : y.shape[1], : y.shape[2], :]
+
+        hz = int(z.shape[1])
+        z_rows = z[0].reshape(hz, 1, z.shape[2], z.shape[3])
+        z_buf, z_len, z_ep, z_ev = self.side_em.compress_sidecar(z_rows)
+        hy = int(y.shape[1])
+        y_rows = y[0].reshape(hy, 1, y.shape[2], y.shape[3])
+        i_rows = indexes[0].reshape(hy, 1, y.shape[2], y.shape[3])
+        y_buf, y_len, y_ep, y_ev = self.em.compress_sidecar(y_rows, i_rows)
+
+        packed = PackedTensors()
+        packed.model = self.MODEL_ID
+        packed.pack([
+            jax_coder.to_bytes_list(y_buf, y_len),
+            jax_coder.to_bytes_list(z_buf, z_len),
+            x_shape, y_shape, z_shape,
+            y_ep.ravel().astype(np.int32), y_ev.astype(np.int32),
+            z_ep.ravel().astype(np.int32), z_ev.astype(np.int32),
+        ])
+        return packed.string
+
     def decompress(self, container: bytes) -> np.ndarray:
+        from compression_tpu.codec import jax_coder
+
         packed = PackedTensors(container)
         assert packed.model == self.MODEL_ID
-        strings, side_strings, x_shape, y_shape, z_shape = packed.unpack(
-            ["bytes", "bytes", np.int32, np.int32, np.int32])
-        z_hat = self.side_em.decompress(side_strings, tuple(z_shape))
-        indexes = self._hyper_decode(self.params, z_hat)
-        indexes = indexes[:, : y_shape[0], : y_shape[1], :]
-        y_hat = self.em.decompress(strings, indexes)
+        if packed.num_tensors == 9:  # native multi-stream container
+            (strings, side_strings, x_shape, y_shape, z_shape, y_ep, y_ev,
+             z_ep, z_ev) = packed.unpack(
+                ["bytes", "bytes", np.int32, np.int32, np.int32,
+                 np.int32, np.int32, np.int32, np.int32])
+            z_buf, z_len = jax_coder.from_bytes_list(side_strings)
+            hz, wz = int(z_shape[0]), int(z_shape[1])
+            z_rows = self.side_em.decompress_sidecar(
+                z_buf, z_len, (1, wz), z_ep.reshape(-1, 2), z_ev)
+            z_hat = jnp.asarray(z_rows).reshape(
+                1, hz, wz, z_rows.shape[-1])
+            indexes = self._hyper_decode(self.params, z_hat)
+            indexes = indexes[:, : y_shape[0], : y_shape[1], :]
+            hy, wy = int(y_shape[0]), int(y_shape[1])
+            i_rows = indexes[0].reshape(hy, 1, wy, indexes.shape[-1])
+            y_buf, y_len = jax_coder.from_bytes_list(strings)
+            y_rows = self.em.decompress_sidecar(
+                y_buf, y_len, i_rows, y_ep.reshape(-1, 2), y_ev)
+            y_hat = jnp.asarray(y_rows).reshape(
+                1, hy, wy, y_rows.shape[-1])
+        else:
+            strings, side_strings, x_shape, y_shape, z_shape = (
+                packed.unpack(
+                    ["bytes", "bytes", np.int32, np.int32, np.int32]))
+            z_hat = self.side_em.decompress(side_strings, tuple(z_shape))
+            indexes = self._hyper_decode(self.params, z_hat)
+            indexes = indexes[:, : y_shape[0], : y_shape[1], :]
+            y_hat = self.em.decompress(strings, indexes)
         x_hat = self._decode(self.params, y_hat)
         x_hat = np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
         return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)

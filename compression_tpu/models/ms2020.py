@@ -357,6 +357,103 @@ class MS2020Codec:
             + [[s] for s in y_strings])
         return packed.string
 
+    def compress_native(self, x) -> bytes:
+        """TPU-native container: row streams + escape sidecars for z and
+        every y slice (see BLS2017Codec.compress_native).  The slice loop
+        stays sequential (decode dependency), but each slice's coding runs
+        over many parallel streams.
+        """
+        from compression_tpu.codec import jax_coder as jc
+
+        x = jnp.asarray(x, jnp.float32)[None]
+        y, z = self._encode(self.params, x)
+        x_shape = np.asarray(x.shape[1:-1], np.int32)
+        y_shape = np.asarray(y.shape[1:-1], np.int32)
+        z_shape = np.asarray(z.shape[1:-1], np.int32)
+
+        hz = int(z.shape[1])
+        z_rows = z[0].reshape(hz, 1, z.shape[2], z.shape[3])
+        z_buf, z_len, z_ep, z_ev = self.em_z.compress_sidecar(z_rows)
+        z_hat = self.em_z.quantize(z)
+        latent_scales, latent_means = self._hyper_decode(self.params, z_hat)
+
+        hy, wy = int(y.shape[1]), int(y.shape[2])
+        y_slices = jnp.split(y, self.model.num_slices, axis=-1)
+        y_hat_slices = []
+        slice_fields = []
+        for i, y_slice in enumerate(y_slices):
+            support = (y_hat_slices if self.model.max_support_slices < 0
+                       else y_hat_slices[: self.model.max_support_slices])
+            mu, sigma, mean_support = self._slice_params(
+                self.params, i, latent_means, latent_scales, tuple(support),
+                tuple(int(s) for s in y_shape))
+            cs = int(y_slice.shape[-1])
+            y_rows = y_slice[0].reshape(hy, 1, wy, cs)
+            s_rows = sigma[0].reshape(hy, 1, wy, cs)
+            m_rows = mu[0].reshape(hy, 1, wy, cs)
+            buf, lens, ep, ev = self.em_y.compress_sidecar(
+                y_rows, s_rows, loc=m_rows)
+            slice_fields += [jc.to_bytes_list(buf, lens),
+                             ep.ravel().astype(np.int32),
+                             ev.astype(np.int32)]
+            y_hat_rows = self.em_y.decompress_sidecar(
+                buf, lens, s_rows, ep, ev, loc=m_rows)
+            y_hat_slice = jnp.asarray(y_hat_rows).reshape(1, hy, wy, cs)
+            y_hat_slice = y_hat_slice + self._lrp(
+                self.params, i, mean_support, y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+
+        packed = PackedTensors()
+        packed.model = self.MODEL_ID
+        packed.pack(
+            [x_shape, y_shape, z_shape,
+             jc.to_bytes_list(z_buf, z_len),
+             z_ep.ravel().astype(np.int32), z_ev.astype(np.int32)]
+            + slice_fields)
+        return packed.string
+
+    def _decompress_native(self, packed) -> np.ndarray:
+        from compression_tpu.codec import jax_coder as jc
+
+        ns = self.model.num_slices
+        fields = packed.unpack(
+            [np.int32, np.int32, np.int32, "bytes", np.int32, np.int32]
+            + ["bytes", np.int32, np.int32] * ns)
+        x_shape, y_shape, z_shape = fields[:3]
+        z_strings, z_ep, z_ev = fields[3:6]
+
+        z_buf, z_len = jc.from_bytes_list(list(z_strings))
+        hz, wz = int(z_shape[0]), int(z_shape[1])
+        z_rows = self.em_z.decompress_sidecar(
+            z_buf, z_len, (1, wz), z_ep.reshape(-1, 2), z_ev)
+        z_hat = jnp.asarray(z_rows).reshape(1, hz, wz, z_rows.shape[-1])
+        latent_scales, latent_means = self._hyper_decode(self.params, z_hat)
+
+        hy, wy = int(y_shape[0]), int(y_shape[1])
+        y_hat_slices = []
+        for i in range(ns):
+            strings, ep, ev = fields[6 + 3 * i : 9 + 3 * i]
+            support = (y_hat_slices if self.model.max_support_slices < 0
+                       else y_hat_slices[: self.model.max_support_slices])
+            mu, sigma, mean_support = self._slice_params(
+                self.params, i, latent_means, latent_scales, tuple(support),
+                (hy, wy))
+            cs = int(sigma.shape[-1])
+            s_rows = sigma[0].reshape(hy, 1, wy, cs)
+            m_rows = mu[0].reshape(hy, 1, wy, cs)
+            buf, lens = jc.from_bytes_list(list(strings))
+            y_hat_rows = self.em_y.decompress_sidecar(
+                buf, lens, s_rows, ep.reshape(-1, 2), ev, loc=m_rows)
+            y_hat_slice = jnp.asarray(y_hat_rows).reshape(1, hy, wy, cs)
+            y_hat_slice = y_hat_slice + self._lrp(
+                self.params, i, mean_support, y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        x_hat = self._decode(self.params, y_hat)
+        x_hat = np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
+        return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
+
     def compress_on_device(self, x) -> bytes:
         """Single-jit compress: analysis, hyper coding, all slice
         conditioning and range encoding in ONE compiled program; only the
@@ -487,6 +584,8 @@ class MS2020Codec:
     def decompress(self, container: bytes) -> np.ndarray:
         packed = PackedTensors(container)
         assert packed.model == self.MODEL_ID
+        if packed.num_tensors == 6 + 3 * self.model.num_slices:
+            return self._decompress_native(packed)
         fields = packed.unpack(
             [np.int32, np.int32, np.int32, "bytes"]
             + ["bytes"] * self.model.num_slices)

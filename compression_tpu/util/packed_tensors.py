@@ -204,6 +204,11 @@ class PackedTensors:
                 assert key is not None
                 self._features[key] = _decode_feature(feature)
 
+    @property
+    def num_tensors(self) -> int:
+        """Number of packed tensors (container arity, excluding model id)."""
+        return len([k for k in self._features if k != "MD"])
+
     def pack(self, tensors):
         """Packs a list of rank-1 arrays / lists of bytes."""
         for i, tensor in enumerate(tensors):

@@ -103,3 +103,26 @@ def test_on_device_compress_matches_host():
     x8 = np.random.RandomState(13).randint(
         0, 256, (64, 64, 3)).astype(np.uint8)
     assert codec.compress_on_device(x8) == codec.compress(x8)
+
+
+def test_native_container_matches_classic():
+    """Native (multi-stream + sidecar) container decodes to the exact same
+    image as the reference-format container."""
+    model = small_model()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 96, 80, 3)), training=False)
+    codec = bls2017.BLS2017Codec(model, params)
+    x8 = np.random.RandomState(21).randint(
+        0, 256, (96, 80, 3)).astype(np.uint8)
+    classic = codec.compress(x8)
+    native = codec.compress_native(x8)
+    assert native != classic
+    np.testing.assert_array_equal(
+        codec.decompress(native), codec.decompress(classic))
+    # Stream count = latent rows.
+    from compression_tpu.util.packed_tensors import PackedTensors
+    packed = PackedTensors(native)
+    assert packed.num_tensors == 5
+    strings = packed.unpack(["bytes", np.int32, np.int32, np.int32,
+                             np.int32])[0]
+    assert len(strings) == 96 // 16

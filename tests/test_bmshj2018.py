@@ -97,3 +97,16 @@ def test_on_device_compress_matches_host():
     x8 = np.random.RandomState(13).randint(
         0, 256, (64, 64, 3)).astype(np.uint8)
     assert codec.compress_on_device(x8) == codec.compress(x8)
+
+
+def test_native_container_matches_classic():
+    model = small_model()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=False)
+    codec = bmshj2018.BMSHJ2018Codec(model, params)
+    x8 = np.random.RandomState(22).randint(
+        0, 256, (64, 48, 3)).astype(np.uint8)
+    classic = codec.compress(x8)
+    native = codec.compress_native(x8)
+    np.testing.assert_array_equal(
+        codec.decompress(native), codec.decompress(classic))

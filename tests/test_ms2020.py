@@ -117,3 +117,16 @@ def test_non_multiple_of_64_input():
     out = codec.decompress(container)
     assert out.shape == x8.shape
     assert codec.compress_on_device(x8) == container
+
+
+def test_native_container_matches_classic():
+    model = tiny_model()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=False)
+    codec = ms2020.MS2020Codec(model, params)
+    x8 = np.random.RandomState(23).randint(
+        0, 256, (64, 64, 3)).astype(np.uint8)
+    classic = codec.compress(x8)
+    native = codec.compress_native(x8)
+    np.testing.assert_array_equal(
+        codec.decompress(native), codec.decompress(classic))

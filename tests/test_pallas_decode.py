@@ -115,15 +115,19 @@ def test_decode_kernel_v2_matches_oracle(n_elements, monkeypatch):
     assert (san_out != 0).all()
 
 
-@pytest.mark.parametrize("n_elements", [37, 64])
-def test_decode_kernel_indexed_matches_oracle(n_elements, monkeypatch):
+@pytest.mark.parametrize("n_elements,any_overflow",
+                         [(37, True), (64, True), (53, False)])
+def test_decode_kernel_indexed_matches_oracle(n_elements, any_overflow,
+                                              monkeypatch):
     """Indexed kernel body: per-element rows, overflow escapes, mixed
     precisions — exact symbols + sanity, eagerly on CPU (like the v2
-    oracle test; interpret mode is too slow for these kernels)."""
+    oracle test; interpret mode is too slow for these kernels).  The
+    any_overflow=False case exercises the cond-free segment variant."""
     S, N, sub = 256, n_elements, 2
     rng = np.random.RandomState(11)
     precisions = [8, 10, 12, 13, 15]
-    overflows = [True, False, True, False, True]
+    overflows = ([True, False, True, False, True]
+                 if any_overflow else [False] * 5)
     rows = []
     for p, _ in zip(precisions, overflows):
         alphabet = rng.randint(3, 40)
@@ -140,7 +144,9 @@ def test_decode_kernel_indexed_matches_oracle(n_elements, monkeypatch):
     mv = lens[idx] - 2
     ovf = np.asarray(t.overflow)[idx]
     sym = np.where(ovf, sym, np.clip(np.abs(sym), 0, mv))
-    assert (ovf & ((sym < 0) | (sym >= mv))).any(), "no escapes exercised"
+    if any_overflow:
+        assert (ovf & ((sym < 0) | (sym >= mv))).any(), \
+            "no escapes exercised"
 
     buf, lengths = jax_coder.encode_streams(sym, t, idx)
     src16 = np.asarray(jax_coder.bytes_to_chunks(buf, lengths))
@@ -178,7 +184,8 @@ def test_decode_kernel_indexed_matches_oracle(n_elements, monkeypatch):
         np.int64).T.reshape(nchunks, nsub, 128)
     idx_t = idx.T.reshape(N, nsub, 128)
     kernel = pallas_coder._make_decode_kernel_indexed(
-        N, w_packed.shape[1], meta.shape[1], bs_iters, nb_pull, sub, True)
+        N, w_packed.shape[1], meta.shape[1], bs_iters, nb_pull, sub,
+        any_overflow)
 
     sym_out = np.zeros((N, nsub, 128), np.int32)
     san_out = np.zeros((nsub, 128), np.int32)
