@@ -47,6 +47,7 @@ __all__ = [
     "encode_streams",
     "decode_streams",
     "encode_core",
+    "encode_dispatch",
     "decode_core",
     "micro_ops_from_symbols",
     "DeviceCdfTable",
@@ -165,8 +166,13 @@ def _encode_step(carry, op):
         keep(new_pend_start, pend_start),
         keep(new_group, group),
     )
-    out = (tag, jnp.where(tag > 0, w_val, 0), res_event, res_dir)
-    return carry, out
+    # Packed record: val(17b) | tag(2b) | res_event(1b) | res_dir(1b) — one
+    # i32 per step instead of four arrays (4x less scan-output HBM traffic).
+    rec = (jnp.where(tag > 0, w_val, 0).astype(jnp.int32)
+           | (tag << 17)
+           | (res_event.astype(jnp.int32) << 19)
+           | (res_dir.astype(jnp.int32) << 20))
+    return carry, rec
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
@@ -193,9 +199,7 @@ def encode_core(lower, upper, prec, mask, out_size):
         jax.default_backend() not in ("cpu",) and num_streams % 256 == 0)
     if use_pallas:
         from compression_tpu.codec import pallas_coder
-        tag, w_val, res_event, res_dir, state = (
-            pallas_coder.encode_scan_pallas(lower, upper, prec, mask))
-        base, sm1, delay, ptr, pend_start = state
+        rec, state = pallas_coder.encode_scan_pallas(lower, upper, prec, mask)
     else:
         init = (
             jnp.zeros(num_streams, jnp.uint32),  # base
@@ -205,40 +209,38 @@ def encode_core(lower, upper, prec, mask, out_size):
             jnp.zeros(num_streams, jnp.int32),  # pend_start
             jnp.zeros(num_streams, jnp.int32),  # open group count
         )
-        (base, sm1, delay, ptr, pend_start, _), ys = jax.lax.scan(
+        (base, sm1, delay, ptr, pend_start, _), rec = jax.lax.scan(
             _encode_step, init, (lower, upper, prec, mask))
-        tag, w_val, res_event, res_dir = ys
+        state = (base, sm1, delay, ptr, pend_start)
 
-    return _encode_postpass(tag, w_val, res_event, res_dir,
-                            (base, sm1, delay, ptr, pend_start), out_size)
+    return _encode_postpass(rec, state, out_size)
 
 
-def _encode_postpass(tag, w_val, res_event, res_dir, state, out_size):
-    """Turns scan records into (bytes [S, out_size], lengths [S]).
+def _encode_postpass(rec, state, out_size):
+    """Turns packed scan records into (bytes [S, out_size], lengths [S]).
 
     Shared by the XLA scan, the v1 Pallas scan and the fused v2 kernel.
+    ``rec`` packs val(17b) | tag(2b) | res_event(1b) | res_dir(1b) per step.
     """
     base, sm1, delay, ptr, pend_start = state
-    num_steps, num_streams = tag.shape
+    num_steps, num_streams = rec.shape
+
+    tag = (rec >> 17) & 3
+    w_val = (rec & 0x1FFFF).astype(jnp.uint32)
 
     # Resolution direction for each pending chunk = direction of the first
     # resolution event strictly after its step (unresolved -> "up"/True).
-    # Reverse associative scan over (has_event, direction), shifted by one.
-    pad_h = jnp.zeros((1, num_streams), bool)
-    pad_d = jnp.ones((1, num_streams), bool)
-    has_next = jnp.concatenate([res_event[1:], pad_h], axis=0)
-    dir_next = jnp.concatenate([res_dir[1:], pad_d], axis=0)
-
-    def first_event(suffix, elem):
-        # reverse=True scans as r[t] = fn(r[t+1], e[t]): `elem` is the
-        # entry nearest to t, so it wins when it has an event.
-        sh, sd = suffix
-        eh, ed = elem
-        return sh | eh, jnp.where(eh, ed, sd)
-
-    found, up = jax.lax.associative_scan(
-        first_event, (has_next, dir_next), reverse=True, axis=0)
-    up = jnp.where(found, up, True)
+    # Single-array reverse cumulative min over code = (t<<1 | dir), BIG when
+    # the step has no event: the min over t'>t is the nearest event, and its
+    # direction rides in the low bit.
+    big = jnp.int32(0x7FFFFFFF)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (num_steps, num_streams), 0)
+    code = jnp.where(
+        (rec & (1 << 19)) != 0, (iota << 1) | ((rec >> 20) & 1), big)
+    m = jax.lax.associative_scan(jnp.minimum, code, reverse=True, axis=0)
+    m_next = jnp.concatenate(
+        [m[1:], jnp.full((1, num_streams), big, jnp.int32)], axis=0)
+    up = jnp.where(m_next != big, (m_next & 1) != 0, True)
 
     value16 = jnp.where(
         tag == 1,
@@ -252,16 +254,28 @@ def _encode_postpass(tag, w_val, res_event, res_dir, state, out_size):
     value16 = jnp.where(tag > 0, value16, 0)
 
     # Compact chunks to the front of each stream: single key-sort along T.
-    iota = jax.lax.broadcasted_iota(jnp.int32, (num_steps, num_streams), 0)
-    key = jnp.where(tag > 0, iota, jnp.int32(0x7FFFFFFF))
-    _, chunks = jax.lax.sort(
-        (key, value16), dimension=0, num_keys=1)
+    if num_steps <= 16382:
+        # Fused (key, value) packing: values are <= 0x10000 (17 bits), so
+        # (t << 17 | value16) sorts by step with the payload in the low
+        # bits — one single-operand sort instead of a variadic keyed sort.
+        packed = jnp.where(
+            tag > 0, (iota << 17) | value16.astype(jnp.int32), big)
+        packed = jax.lax.sort(packed, dimension=0)
+        chunks = (packed & 0x1FFFF).astype(jnp.uint32)
+        chunks = jnp.where(packed == big, 0, chunks)
+    else:
+        key = jnp.where(tag > 0, iota, big)
+        _, chunks = jax.lax.sort(
+            (key, value16), dimension=0, num_keys=1)
     chunks = chunks.T  # [S, T], valid prefix per stream
 
-    # Interleave hi/lo bytes: [S, T] u16-in-u32 -> [S, 2T] u8.
-    hi = (chunks >> 8).astype(jnp.uint8)
-    lo = (chunks & 0xFF).astype(jnp.uint8)
-    byte_pairs = jnp.stack([hi, lo], axis=-1).reshape(
+    # Interleave hi/lo bytes: [S, T] u16-in-u32 -> [S, 2T] u8.  Byte-swap
+    # inside the 16-bit word, then bitcast u16 -> [.., 2] u8: the
+    # little-endian low byte comes first, i.e. the stream's big-endian
+    # order — no u8 stack/reshape shuffle.
+    swapped = (((chunks & 0xFF) << 8) | ((chunks >> 8) & 0xFF)).astype(
+        jnp.uint16)
+    byte_pairs = jax.lax.bitcast_convert_type(swapped, jnp.uint8).reshape(
         num_streams, 2 * num_steps)
     pad_cols = out_size - 2 * num_steps
     buf = jnp.pad(byte_pairs, ((0, 0), (0, pad_cols)))
@@ -837,25 +851,6 @@ def encode_streams(symbols, table, indexes=None) -> tuple[np.ndarray, np.ndarray
     symbols = np.asarray(symbols, np.int32)
     num_streams, n = symbols.shape
 
-    if _pallas_decode_applicable(table) and os.environ.get(
-            "COMPRESSION_TPU_FUSED_ENCODE"):
-        # Fused single-row Pallas encode (lookup + scan in one kernel).
-        # Off by default: measured 3.6x slower than the XLA micro-op path
-        # in interleaved A/B runs (the per-lane table gathers serialize);
-        # kept for kernels work behind the env flag.
-        from compression_tpu.codec import pallas_coder
-
-        sub = 8  # the fused encode kernel's in+out blocks cap VMEM at 16
-        pad = (-num_streams) % (sub * 128)
-        sym_p = np.pad(symbols, ((0, pad), (0, 0))) if pad else symbols
-        out_size = _round_up(2 * n + 2, 4)
-        cdf_row = np.asarray(table.cdf[0][: int(table.length[0])])
-        buf, lengths = _encode_single_row_jit(
-            jnp.asarray(sym_p), _HashableArray(cdf_row),
-            int(table.precision[0]), out_size, sub)
-        return (np.asarray(buf)[:num_streams],
-                np.asarray(lengths)[:num_streams])
-
     if indexes is None:
         indexes = np.broadcast_to(
             np.arange(n, dtype=np.int32) % table.num_rows, (num_streams, n))
@@ -884,8 +879,55 @@ def encode_streams(symbols, table, indexes=None) -> tuple[np.ndarray, np.ndarray
     return np.asarray(buf), np.asarray(lengths)
 
 
+def _pallas_encode_applicable(table) -> bool:
+    """True when the fused single-row Pallas encode kernel serves this table.
+
+    Single shared row, no overflow, precision <= 15 (16-bit packed CDF
+    pairs), on a real TPU backend.  Mirrors _pallas_decode_applicable.
+    """
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return (backend == "tpu"
+            and int(table.num_rows) == 1
+            and not bool(table.any_overflow)
+            and int(np.asarray(table.precision)[0]) <= 15)
+
+
+def encode_dispatch(symbols, table, num_steps, out_size, indexes=None):
+    """Traced encode entry point: fused Pallas kernel when applicable, the
+    micro-op expansion + scan otherwise.
+
+    Safe to call inside jit (symbols/indexes may be tracers; the table must
+    be concrete).  ``indexes=None`` selects channel mode (element j uses
+    row ``j % num_rows``).  Output bytes are identical across paths.
+    """
+    num_streams, n = symbols.shape
+    if _pallas_encode_applicable(table) and num_steps >= n:
+        from compression_tpu.codec import pallas_coder
+
+        sub = 8
+        pad = (-num_streams) % (sub * 128)
+        sym_p = jnp.pad(symbols, ((0, pad), (0, 0))) if pad else symbols
+        cdf_row = np.asarray(table.cdf[0][: int(table.length[0])])
+        buf, lengths = pallas_coder.encode_single_row_device(
+            sym_p, cdf_row, int(table.precision[0]), out_size, sub=sub)
+        return buf[:num_streams], lengths[:num_streams]
+
+    if indexes is None:
+        indexes = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32) % table.num_rows,
+            (num_streams, n))
+    ops = micro_ops_from_symbols(symbols, indexes, table, 1, num_steps)
+    return encode_core(*ops, out_size)
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def _encode_streams_jit(symbols, indexes, table, slots, num_steps, out_size):
+    if slots == 1:
+        return encode_dispatch(
+            symbols, table, num_steps, out_size, indexes=indexes)
     ops = micro_ops_from_symbols(symbols, indexes, table, slots, num_steps)
     return encode_core(*ops, out_size)
 
@@ -990,30 +1032,6 @@ def decode_streams_sidecar(byte_buf, byte_lens, num_elements, table,
         symbols[esc_pos[:, 0], esc_pos[:, 1]] = np.asarray(
             esc_val, np.int32)
     return symbols, sanity
-
-
-class _HashableArray:
-    """Wraps a host ndarray as a hashable static jit argument."""
-
-    def __init__(self, arr):
-        self.arr = np.asarray(arr)
-        self._key = (self.arr.shape, self.arr.dtype.str,
-                     self.arr.tobytes())
-
-    def __hash__(self):
-        return hash(self._key)
-
-    def __eq__(self, other):
-        return (isinstance(other, _HashableArray)
-                and self._key == other._key)
-
-
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def _encode_single_row_jit(symbols, cdf_row, precision, out_size, sub):
-    from compression_tpu.codec import pallas_coder
-
-    return pallas_coder.encode_single_row_device(
-        symbols, cdf_row.arr, precision, out_size, sub)
 
 
 def bytes_to_chunks(byte_buf, byte_lens=None):

@@ -52,7 +52,7 @@ def _mul_shift(size_minus1, v, precision):
 
 
 def _encode_scan_kernel(lower_ref, upper_ref, prec_ref, mask_ref,
-                        tag_ref, val_ref, rese_ref, resd_ref, state_ref):
+                        rec_ref, state_ref):
     num_steps = lower_ref.shape[0]
     block = lower_ref.shape[1]
 
@@ -101,10 +101,11 @@ def _encode_scan_kernel(lower_ref, upper_ref, prec_ref, mask_ref,
         new_pend = jnp.where(tag == 2, ptr, pend_start)
         new_ptr = ptr + 2 * (tag != 0)
 
-        tag_ref[t, :] = tag
-        val_ref[t, :] = jnp.where(tag > 0, w_val, 0)
-        rese_ref[t, :] = res_event.astype(jnp.int32)
-        resd_ref[t, :] = res_dir.astype(jnp.int32)
+        # Packed record: val(17b) | tag(2b) | res_event(1b) | dir(1b).
+        val = jnp.where(tag > 0, w_val, 0).astype(jnp.int32)
+        rec_ref[t, :] = (val | (tag << 17)
+                         | (res_event.astype(jnp.int32) << 19)
+                         | (res_dir.astype(jnp.int32) << 20))
 
         keep = lambda new, old: jnp.where(mask, new, old)
         return (keep(new_base, base), keep(new_sm1, sm1),
@@ -124,9 +125,8 @@ def _encode_scan_kernel(lower_ref, upper_ref, prec_ref, mask_ref,
 def encode_scan_pallas(lower, upper, prec, mask, block=256):
     """Runs the encoder scan over [T, S] micro-ops with a Pallas kernel.
 
-    Returns (tag [T,S] i32, val [T,S] u32, res_event [T,S] bool,
-    res_dir [T,S] bool, final_state tuple of [S] arrays
-    (base, sm1, delay, ptr, pend_start)).
+    Returns (rec [T,S] i32 packed val(17b)|tag(2b)|res_event(1b)|dir(1b),
+    final_state tuple of [S] arrays (base, sm1, delay, ptr, pend_start)).
     """
     num_steps, num_streams = lower.shape
     if num_streams % block:
@@ -137,19 +137,16 @@ def encode_scan_pallas(lower, upper, prec, mask, block=256):
         (num_steps, block), lambda i: (0, i), memory_space=pltpu.VMEM)
     out_specs = [
         pl.BlockSpec((num_steps, block), lambda i: (0, i),
-                     memory_space=pltpu.VMEM)
-        for _ in range(4)
-    ] + [pl.BlockSpec((5, block), lambda i: (0, i), memory_space=pltpu.VMEM)]
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((5, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
 
     out_shape = [
-        jax.ShapeDtypeStruct((num_steps, num_streams), jnp.int32),
-        jax.ShapeDtypeStruct((num_steps, num_streams), jnp.uint32),
-        jax.ShapeDtypeStruct((num_steps, num_streams), jnp.int32),
         jax.ShapeDtypeStruct((num_steps, num_streams), jnp.int32),
         jax.ShapeDtypeStruct((5, num_streams), jnp.uint32),
     ]
 
-    tag, val, rese, resd, state = pl.pallas_call(
+    rec, state = pl.pallas_call(
         _encode_scan_kernel,
         grid=grid,
         in_specs=[in_spec] * 4,
@@ -160,7 +157,7 @@ def encode_scan_pallas(lower, upper, prec, mask, block=256):
     final_state = (
         state[0], state[1], state[2],
         state[3].astype(jnp.int32), state[4].astype(jnp.int32))
-    return tag, val, rese != 0, resd != 0, final_state
+    return rec, final_state
 
 
 # -----------------------------------------------------------------------------
@@ -1164,36 +1161,41 @@ def decode_indexed_pallas(src16, byte_lens, indexes, num_symbols, table,
 
 
 # -----------------------------------------------------------------------------
-# Encoder kernel v2: fused lookup + scan, lane-major (production fast path)
+# Encoder kernel v3: fused lookup + scan, lane-major (production fast path)
 # -----------------------------------------------------------------------------
 #
-# The XLA encode pipeline spends ~half its time materializing
-# (lower, upper) micro-ops from symbols (the CDF pair lookup) and the
-# other half in the v1 Pallas scan, whose 1-D (block,) state suffers the
-# same layout problem as the v1 decoder.  This kernel fuses both: symbols
-# stream in as [N, SUB, 128] tiles, the (cdf[v], cdf[v+1]) pair comes from
-# per-lane dynamic gathers over lane-replicated table parts (Mosaic
-# supports take_along_axis along lanes; ~20ns per gather), and the exact
+# The XLA encode pipeline spends ~60% of its time materializing
+# (lower, upper) micro-ops from symbols: the CDF pair lookup is HBM-bound
+# on its [M, buckets] one-hot intermediates (measured 10.5 ms for 16.8M
+# elements), and per-lane `take_along_axis` gathers are worse still
+# (serialized; ~330 ms as an XLA gather, ~4x the whole pipeline as a
+# Mosaic gather in the retired v2 kernel).  This kernel fuses lookup and
+# scan with all intermediates in registers: symbols stream in as
+# [N, SUB, 128] tiles, each (cdf[v], cdf[v+1]) pair is packed into one
+# int32 ((lo << 16) | hi, exact for precision <= 15) and pulled from an
+# SMEM table by a statically unrolled two-level select-accumulate — the
+# same scalar-broadcast technique the decode kernels use, which beats
+# both MXU one-hot and hardware gathers at this table size.  The exact
 # RangeEncoder::Encode recurrence (reference cc/lib/range_coder.cc:37-264)
-# runs on (SUB, 128) u32 tiles.  Emits the same per-step chunk records as
-# the v1 scan; jax_coder._encode_postpass resolves them into bytes.
+# then runs on (SUB, 128) u32 tiles and emits one packed record per step;
+# jax_coder._encode_postpass resolves the records into bytes.
 #
-# Single-shared-row, no-overflow tables only (the regime of batched
-# entropy models); everything else takes the micro-op path.
+# Single-shared-row, no-overflow, precision <= 15 tables only (the regime
+# of batched entropy models); everything else takes the micro-op path.
 
 
-def _make_encode_kernel_v2(num_steps, precision, parts, sub):
+def _make_encode_kernel_v3(num_steps, precision, nb, sub):
     """Builds the fused encode kernel for one shared CDF row.
 
     Static parameters:
       num_steps: symbols per stream.
-      precision: range-coder precision of the row.
-      parts: number of 128-wide lane-replicated table parts.
+      precision: range-coder precision of the row (<= 15).
+      nb: number of 16-wide packed-pair buckets.
       sub: sublane tile height (streams per program = sub * 128).
     """
     shift_up = 32 - precision
 
-    def kernel(vq_ref, tlo_ref, thi_ref, rec_ref, state_ref):
+    def kernel(vq_ref, win_ref, rec_ref, state_ref):
         def mul_size(sm1, v):
             h = sm1 >> 16
             l = sm1 & 0xFFFF
@@ -1210,38 +1212,36 @@ def _make_encode_kernel_v2(num_steps, precision, parts, sub):
             hi, lo = mul_size(sm1, v)
             return (hi << shift_up) | (lo >> precision)
 
-        # Lane-replicated table parts, hoisted out of the step loop.
-        # tlo[p] = cdf[128p : 128p+128], thi[p] = cdf[128p+1 : 128p+129]
-        # (the shifted copy makes cdf[v+1] share v's gather index).
-        tlo = [jnp.broadcast_to(tlo_ref[p][None, :], (sub, 128))
-               for p in range(parts)]
-        thi = [jnp.broadcast_to(thi_ref[p][None, :], (sub, 128))
-               for p in range(parts)]
-
-        def lookup(v):
-            lane = v & 127
-            p_ix = v >> 7
-            c_lo = jnp.take_along_axis(tlo[0], lane, axis=1)
-            c_hi = jnp.take_along_axis(thi[0], lane, axis=1)
-            for p in range(1, parts):
-                m = p_ix == p
-                c_lo = jnp.where(
-                    m, jnp.take_along_axis(tlo[p], lane, axis=1), c_lo)
-                c_hi = jnp.where(
-                    m, jnp.take_along_axis(thi[p], lane, axis=1), c_hi)
-            return c_lo.astype(jnp.uint32), c_hi.astype(jnp.uint32)
-
         def step(t, carry):
             base, sm1, delay, ptr, pend_start = carry
-            c_lo, c_hi = lookup(vq_ref[t])
+            vq = vq_ref[t]  # (sub, 128) int32, pre-clipped
+
+            # Packed-pair lookup: pull the lane's 16-wide bucket window
+            # from SMEM with scalar-broadcast selects (statically
+            # unrolled), then a 16-way fine select.  ~nb*16 + 16 vops.
+            b = vq >> 4
+            r = vq & 15
+            w = [None] * 16
+            for bb in range(nb):
+                m = b == bb
+                for j in range(16):
+                    v = win_ref[0, 16 * bb + j]
+                    w[j] = jnp.where(m, v, 0) if bb == 0 else (
+                        jnp.where(m, v, w[j]))
+            pair = w[0]
+            for j in range(1, 16):
+                pair = jnp.where(r == j, w[j], pair)
+            pair_u = pair.astype(jnp.uint32)
+            c_lo = pair_u >> 16
+            c_hi = pair_u & 0xFFFF
 
             # RangeEncoder::Encode, exactly as jax_coder._encode_step
             # (delayed-carry "state 1" via delay/pend bookkeeping).
             a = mul_shift(sm1, c_lo)
-            b = mul_shift(sm1, c_hi) - 1
+            b_ = mul_shift(sm1, c_hi) - 1
             nbase = base + a
             overflow = nbase < a
-            ns = b - a
+            ns = b_ - a
             straddle = (nbase + ns) < nbase
             renorm = (ns >> 16) == 0
 
@@ -1265,8 +1265,7 @@ def _make_encode_kernel_v2(num_steps, precision, parts, sub):
             new_pend = jnp.where(tag == 2, ptr, pend_start)
             new_ptr = ptr + 2 * (tag != 0)
 
-            # Packed record: val(17b) | tag(2b) | res_event(1b) | dir(1b)
-            # — one store/step keeps the output block inside scoped VMEM.
+            # Packed record: val(17b) | tag(2b) | res_event(1b) | dir(1b).
             val = jnp.where(tag > 0, w_val, 0).astype(jnp.int32)
             rec_ref[t] = (val | (tag << 17)
                           | (res_event.astype(jnp.int32) << 19)
@@ -1289,12 +1288,12 @@ def _make_encode_kernel_v2(num_steps, precision, parts, sub):
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
-def _encode_v2_call(vq_t, tables2, precision, sub):
-    """vq_t: int32 [N, NSUB, 128]; tables2: int32 [2, parts, 128]."""
+def _encode_v3_call(vq_t, win, precision, sub):
+    """vq_t: int32 [N, NSUB, 128]; win: int32 [1, nb*16] packed pairs."""
     num_steps, nsub, _ = vq_t.shape
-    parts = tables2.shape[1]
+    nb = win.shape[1] // 16
     grid = (nsub // sub,)
-    kernel = _make_encode_kernel_v2(num_steps, precision, parts, sub)
+    kernel = _make_encode_kernel_v3(num_steps, precision, nb, sub)
     io = lambda: pl.BlockSpec((num_steps, sub, 128), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)
     rec, state = pl.pallas_call(
@@ -1302,17 +1301,15 @@ def _encode_v2_call(vq_t, tables2, precision, sub):
         grid=grid,
         in_specs=[
             io(),
-            pl.BlockSpec((parts, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((parts, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[io(),
                    pl.BlockSpec((5, sub, 128), lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((num_steps, nsub, 128), jnp.int32),
                    jax.ShapeDtypeStruct((5, nsub, 128), jnp.int32)],
-    )(vq_t, tables2[0], tables2[1])
+    )(vq_t, win)
     return rec, state
 
 
@@ -1324,8 +1321,9 @@ def encode_single_row_device(symbols, cdf_row, precision, out_size, sub=8):
     Args:
       symbols: int32 [S, N], S % (sub*128) == 0; values are clipped to the
         row's alphabet like the micro-op path.
-      cdf_row: 1-D host int array (alphabet + 1 CDF values).
-      precision: static int.
+      cdf_row: 1-D host int array (alphabet + 1 CDF values); all values
+        must fit 16 bits (precision <= 15).
+      precision: static int (<= 15).
       out_size: static output buffer width (>= 2*N + 2).
       sub: sublane tile height.
     """
@@ -1334,31 +1332,26 @@ def encode_single_row_device(symbols, cdf_row, precision, out_size, sub=8):
     num_streams, n = symbols.shape
     if num_streams % (sub * 128):
         raise ValueError(f"num_streams {num_streams} % {sub * 128} != 0")
+    if int(precision) > 15:
+        raise ValueError("packed-pair kernel requires precision <= 15")
     cdf_row = np.asarray(cdf_row, np.int64)
     max_sym = len(cdf_row) - 2
-    parts = max(-(-(max_sym + 1) // 128), 1)
-    pad = parts * 128 + 1 - len(cdf_row)
-    flat = np.concatenate(
-        [cdf_row, np.full(pad, cdf_row[-1], np.int64)]).astype(np.int32)
-    tables2 = np.stack([
-        flat[: parts * 128].reshape(parts, 128),
-        flat[1 : parts * 128 + 1].reshape(parts, 128),
-    ])
+    pairs = (cdf_row[:-1] << 16) | cdf_row[1:]  # pairs[v] for v=0..max_sym
+    nb = max(-(-len(pairs) // 16), 1)
+    pairs = np.concatenate(
+        [pairs, np.full(nb * 16 - len(pairs), pairs[-1], np.int64)])
+    win = pairs.astype(np.uint32).view(np.int32).reshape(1, -1)
 
     nsub = num_streams // 128
     vq = jnp.clip(jnp.asarray(symbols, jnp.int32), 0, max_sym)
     vq_t = vq.T.reshape(n, nsub, 128)
-    rec, state = _encode_v2_call(
-        vq_t, jnp.asarray(tables2), int(precision), int(sub))
+    rec, state = _encode_v3_call(
+        vq_t, jnp.asarray(win), int(precision), int(sub))
 
     rec = rec.reshape(n, num_streams)
-    tag = (rec >> 17) & 3
-    val = (rec & 0x1FFFF).astype(jnp.uint32)
-    rese = ((rec >> 19) & 1) != 0
-    resd = ((rec >> 20) & 1) != 0
     state_f = state.reshape(5, num_streams)
     return jax_coder._encode_postpass(
-        tag, val, rese, resd,
+        rec,
         (state_f[0].astype(jnp.uint32), state_f[1].astype(jnp.uint32),
          state_f[2].astype(jnp.uint32), state_f[3], state_f[4]),
         out_size)

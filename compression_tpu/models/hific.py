@@ -9,10 +9,11 @@ target rate; reference model.py:53-115, configs.py).
 
 Deviations from the reference, by necessity or TPU-nativeness:
   * compare_gan is replaced with flax modules + nn.SpectralNorm.
-  * The LPIPS perceptual term requires pretrained VGG weights that are not
-    available in this zero-egress environment; `perceptual_loss_fn` is
-    pluggable and defaults to MSE in feature-free form.  Plug in an LPIPS
-    callable to reproduce the paper's P term.
+  * The LPIPS perceptual term runs TPU-natively (`models/lpips.py`: VGG16
+    feature stack + unit-normalized feature distance).  Pretrained VGG
+    weights cannot be downloaded in this zero-egress environment; they
+    load from a local npz when present, else a deterministic
+    random-feature LPIPS (identical graph and cost) stands in.
 """
 
 from __future__ import annotations
@@ -333,12 +334,23 @@ def rd_loss(cfg: HiFiCConfig, distortion, nbpp, qbpp, step):
 
 def make_train_steps(model: HiFiCModel, disc: Optional[Discriminator],
                      g_optimizer, d_optimizer=None,
-                     perceptual_loss_fn: Optional[Callable] = None):
+                     perceptual_loss_fn: Optional[Callable] = None,
+                     lpips_weights_path: Optional[str] = None):
     """Builds jitted generator/discriminator train steps.
 
-    perceptual_loss_fn(x, x_hat) -> scalar replaces LPIPS when provided.
+    The perceptual term defaults to the JAX LPIPS metric
+    (`models/lpips.py`; reference models/hific/model.py:642-668) when
+    ``cfg.CP > 0`` — real weights from ``lpips_weights_path`` when the
+    file exists, the deterministic random-feature variant otherwise.
+    Pass ``perceptual_loss_fn(x, x_hat) -> scalar`` to override.
     """
     cfg = model.cfg
+    if perceptual_loss_fn is None and cfg.CP > 0:
+        from compression_tpu.models import lpips as lpips_mod
+
+        _lpips = lpips_mod.make_lpips_loss(lpips_weights_path)
+        perceptual_loss_fn = lambda x, x_hat: _lpips(
+            x / 255.0, x_hat / 255.0)
 
     def g_loss_fn(params, d_vars, batch, key, step):
         x_hat, y_hat, nbpp, qbpp = model.apply(

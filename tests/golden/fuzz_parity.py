@@ -24,7 +24,7 @@ def ref_encode(values, ragged_cdf, index=None):
 rng = np.random.RandomState(12345)
 fails = 0
 cases = 0
-for trial in range(300):
+for trial in range(int(os.environ.get("FUZZ_TRIALS", "300"))):
     precision = rng.randint(1, 17)
     num_rows = rng.randint(1, 6)
     overflow = bool(rng.rand() < 0.5)

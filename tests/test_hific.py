@@ -85,3 +85,32 @@ class TestCodec:
         assert x_hat.shape == x8.shape
         x_hat2 = codec.decompress(codec.compress(x8))
         np.testing.assert_array_equal(x_hat, x_hat2)
+
+
+class TestLPIPS:
+    def test_zero_for_identical_positive_otherwise(self):
+        from compression_tpu.models import lpips as lpips_mod
+
+        params = lpips_mod.random_lpips_weights(seed=1)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+        y = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+        d_same = lpips_mod.lpips(params, x, x)
+        d_diff = lpips_mod.lpips(params, x, y)
+        assert d_same.shape == (2,)
+        np.testing.assert_allclose(np.asarray(d_same), 0.0, atol=1e-5)
+        assert np.all(np.asarray(d_diff) > 0)
+        d_rev = lpips_mod.lpips(params, y, x)
+        np.testing.assert_allclose(
+            np.asarray(d_diff), np.asarray(d_rev), rtol=1e-5)
+
+    def test_npz_round_trip(self, tmp_path):
+        from compression_tpu.models import lpips as lpips_mod
+
+        params = lpips_mod.random_lpips_weights(seed=2)
+        path = str(tmp_path / "lpips.npz")
+        np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
+        loaded = lpips_mod.load_lpips_weights(path)
+        for k in params:
+            np.testing.assert_array_equal(
+                np.asarray(params[k]), np.asarray(loaded[k]))
