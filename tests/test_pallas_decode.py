@@ -238,3 +238,42 @@ class TestPairLookupKernel:
         )(jnp.asarray(win17), jnp.asarray(idx2))
         np.testing.assert_array_equal(np.asarray(lo), flat[idx2])
         np.testing.assert_array_equal(np.asarray(hi), flat[idx2 + 1])
+
+
+def test_encode_v3_kernel_matches_micro_path(interpret_pallas):
+    """Fused single-row encode kernel (interpret mode) == micro-op bytes."""
+    S, N = 1024, 24
+    pmf = 1.0 / (1 + np.arange(40)) ** 1.3
+    pmf /= pmf.sum()
+    cdf = tables.pmf_to_quantized_cdf(pmf, 11)
+    t = tables.parse_ragged_cdf(
+        tables.build_ragged_cdf([cdf], [11], [False]))
+    rng = np.random.RandomState(7)
+    sym = rng.choice(40, size=(S, N), p=pmf).astype(np.int32)
+    buf0, len0 = jax_coder.encode_streams(sym, t)
+
+    out_size = buf0.shape[1]
+    cdf_row = np.asarray(t.cdf[0][: int(t.length[0])])
+    buf1, len1 = pallas_coder.encode_single_row_device(
+        jnp.asarray(sym), cdf_row, 11, out_size, sub=8)
+    np.testing.assert_array_equal(np.asarray(len0), np.asarray(len1))
+    np.testing.assert_array_equal(np.asarray(buf0), np.asarray(buf1))
+
+
+def test_encode_v3_kernel_stream_chunking(interpret_pallas):
+    """The >8-grid stream chunking produces identical bytes."""
+    S, N = 1024, 16
+    pmf = np.full(16, 1 / 16)
+    cdf = tables.pmf_to_quantized_cdf(pmf, 10)
+    t = tables.parse_ragged_cdf(
+        tables.build_ragged_cdf([cdf], [10], [False]))
+    rng = np.random.RandomState(8)
+    sym = rng.randint(0, 16, size=(S, N)).astype(np.int32)
+    buf0, len0 = jax_coder.encode_streams(sym, t)
+    out_size = buf0.shape[1]
+    cdf_row = np.asarray(t.cdf[0][: int(t.length[0])])
+    # sub=1 -> nsub_max=8 -> 8 lanes per call -> exercises the chunked path.
+    buf1, len1 = pallas_coder.encode_single_row_device(
+        jnp.asarray(sym), cdf_row, 10, out_size, sub=1)
+    np.testing.assert_array_equal(np.asarray(len0), np.asarray(len1))
+    np.testing.assert_array_equal(np.asarray(buf0), np.asarray(buf1))
