@@ -269,13 +269,13 @@ def _encode_postpass(rec, state, out_size):
             (key, value16), dimension=0, num_keys=1)
     chunks = chunks.T  # [S, T], valid prefix per stream
 
-    # Interleave hi/lo bytes: [S, T] u16-in-u32 -> [S, 2T] u8.  Byte-swap
-    # inside the 16-bit word, then bitcast u16 -> [.., 2] u8: the
-    # little-endian low byte comes first, i.e. the stream's big-endian
-    # order — no u8 stack/reshape shuffle.
-    swapped = (((chunks & 0xFF) << 8) | ((chunks >> 8) & 0xFF)).astype(
-        jnp.uint16)
-    byte_pairs = jax.lax.bitcast_convert_type(swapped, jnp.uint8).reshape(
+    # Interleave hi/lo bytes: [S, T] u16-in-u32 -> [S, 2T] u8.  (A u16
+    # byteswap + bitcast formulation is algebraically cheaper but wedges
+    # the XLA TPU compiler at [32k, 512]-scale shapes; the u8 stack
+    # compiles reliably everywhere.)
+    hi = (chunks >> 8).astype(jnp.uint8)
+    lo = (chunks & 0xFF).astype(jnp.uint8)
+    byte_pairs = jnp.stack([hi, lo], axis=-1).reshape(
         num_streams, 2 * num_steps)
     pad_cols = out_size - 2 * num_steps
     buf = jnp.pad(byte_pairs, ((0, 0), (0, pad_cols)))
@@ -895,24 +895,61 @@ def _pallas_encode_applicable(table) -> bool:
             and int(np.asarray(table.precision)[0]) <= 15)
 
 
+def _pallas_encode_indexed_applicable(table) -> bool:
+    """True when the indexed Pallas encode kernel serves this table.
+
+    Any row-per-element table with per-row precision <= 15 (16-bit pair
+    packing); outsized tables fall back (per-part gather cost grows with
+    table size).  The DATA must be escape-free (every symbol in range, or
+    escapes pre-mapped in sidecar mode) — callers guarantee this via the
+    slots==1 micro-op budget.  Requires a real TPU backend (Mosaic).
+    """
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    if backend != "tpu":
+        return False
+    if int(np.asarray(table.precision).max()) > 15:
+        return False
+    total_pairs = int(np.sum(np.asarray(table.length) - 1))
+    return total_pairs <= 16384 and int(table.num_rows) <= 4096
+
+
 def encode_dispatch(symbols, table, num_steps, out_size, indexes=None):
-    """Traced encode entry point: fused Pallas kernel when applicable, the
+    """Traced encode entry point: fused Pallas kernels when applicable, the
     micro-op expansion + scan otherwise.
 
     Safe to call inside jit (symbols/indexes may be tracers; the table must
     be concrete).  ``indexes=None`` selects channel mode (element j uses
-    row ``j % num_rows``).  Output bytes are identical across paths.
+    row ``j % num_rows``).  Only escape-free data may take the Pallas
+    paths (callers guarantee this via the slots==1 micro-op budget).
+    Output bytes are identical across paths.
     """
     num_streams, n = symbols.shape
+    sub = 8
+    pad = (-num_streams) % (sub * 128)
+
     if _pallas_encode_applicable(table) and num_steps >= n:
         from compression_tpu.codec import pallas_coder
 
-        sub = 8
-        pad = (-num_streams) % (sub * 128)
         sym_p = jnp.pad(symbols, ((0, pad), (0, 0))) if pad else symbols
         cdf_row = np.asarray(table.cdf[0][: int(table.length[0])])
         buf, lengths = pallas_coder.encode_single_row_device(
             sym_p, cdf_row, int(table.precision[0]), out_size, sub=sub)
+        return buf[:num_streams], lengths[:num_streams]
+
+    if _pallas_encode_indexed_applicable(table) and num_steps >= n:
+        from compression_tpu.codec import pallas_coder
+
+        if indexes is None:
+            indexes = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32) % table.num_rows,
+                (num_streams, n))
+        sym_p = jnp.pad(symbols, ((0, pad), (0, 0))) if pad else symbols
+        idx_p = jnp.pad(indexes, ((0, pad), (0, 0))) if pad else indexes
+        buf, lengths = pallas_coder.encode_indexed_device(
+            sym_p, idx_p, table, out_size, sub=sub)
         return buf[:num_streams], lengths[:num_streams]
 
     if indexes is None:

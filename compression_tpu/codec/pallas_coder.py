@@ -1345,8 +1345,281 @@ def encode_single_row_device(symbols, cdf_row, precision, out_size, sub=8):
     nsub = num_streams // 128
     vq = jnp.clip(jnp.asarray(symbols, jnp.int32), 0, max_sym)
     vq_t = vq.T.reshape(n, nsub, 128)
-    rec, state = _encode_v3_call(
-        vq_t, jnp.asarray(win), int(precision), int(sub))
+    win_d = jnp.asarray(win)
+    # Cap the per-call grid: one pallas call over the full stream axis
+    # (grid 32 at 32k streams) wedges the XLA TPU compiler for tens of
+    # minutes, while the identical kernel at grid <= 8 compiles in
+    # seconds.  Chunk the stream axis and emit one call per chunk — same
+    # Mosaic binary, same total device work.
+    nsub_max = 8 * sub
+    if nsub <= nsub_max:
+        rec, state = _encode_v3_call(vq_t, win_d, int(precision), int(sub))
+    else:
+        chunks = [
+            _encode_v3_call(vq_t[:, i:i + nsub_max], win_d,
+                            int(precision), int(sub))
+            for i in range(0, nsub, nsub_max)
+        ]
+        rec = jnp.concatenate([c[0] for c in chunks], axis=1)
+        state = jnp.concatenate([c[1] for c in chunks], axis=1)
+
+    rec = rec.reshape(n, num_streams)
+    state_f = state.reshape(5, num_streams)
+    return jax_coder._encode_postpass(
+        rec,
+        (state_f[0].astype(jnp.uint32), state_f[1].astype(jnp.uint32),
+         state_f[2].astype(jnp.uint32), state_f[3], state_f[4]),
+        out_size)
+
+
+# -----------------------------------------------------------------------------
+# Indexed encoder kernel: lane-major, any CDF row per element
+# -----------------------------------------------------------------------------
+#
+# The encode counterpart of decode_indexed_pallas: each element selects
+# its own CDF row (bmshj2018/ms2020/universal compress), rows may differ
+# in length and precision.  Unlike decode, the symbol is KNOWN, so the
+# table access is a single per-lane gather of the packed (cdf[v] << 16 |
+# cdf[v+1]) pair at global index row_base[row] + v — no search.  Row
+# metadata (pair base, escape index, precision, overflow flag) gathers
+# from lane-replicated vectors exactly like the indexed decoder's.
+#
+# Escape-free streams only (the caller guarantees every symbol is in its
+# row's range, or escapes were pre-mapped to the marker in sidecar mode);
+# in-stream gamma escapes take the micro-op path.  Precision <= 15 per
+# row (16-bit pair packing).
+
+
+def _make_encode_kernel_indexed(num_steps, parts_p, parts_r, sub):
+    """Builds the lane-major indexed encode kernel.
+
+    Static parameters:
+      num_steps: symbols per stream.
+      parts_p: 128-lane parts of the packed-pair table.
+      parts_r: 128-lane parts of the per-row metadata vectors.
+      sub: sublane tile height (streams per program = sub * 128).
+    """
+
+    def kernel(vq_ref, idx_ref, pairs_ref, meta_ref, rec_ref, state_ref):
+        def mul_size(sm1, v):
+            h = sm1 >> 16
+            l = sm1 & 0xFFFF
+            p1 = h * v
+            p2a = l * v
+            p2 = p2a + v
+            c2 = (p2 < p2a).astype(jnp.uint32)
+            lo1 = p1 << 16
+            lo = lo1 + p2
+            c1 = (lo < lo1).astype(jnp.uint32)
+            return (p1 >> 16) + c2 + c1, lo
+
+        def mul_shift_v(sm1, v, prec):
+            hi, lo = mul_size(sm1, v)
+            return (hi << (jnp.uint32(32) - prec)) | (lo >> prec)
+
+        def rep(row):  # (128,) -> (sub, 128)
+            return jnp.broadcast_to(row[None, :], (sub, 128))
+
+        def gather_pairs(g):
+            lane = g & 127
+            pix = g >> 7
+            acc = jnp.take_along_axis(rep(pairs_ref[0]), lane, axis=1)
+            for p in range(1, parts_p):
+                cand = jnp.take_along_axis(rep(pairs_ref[p]), lane, axis=1)
+                acc = jnp.where(pix == p, cand, acc)
+            return acc
+
+        def gather_meta(a, r):
+            lane = r & 127
+            pix = r >> 7
+            acc = jnp.take_along_axis(rep(meta_ref[a, 0]), lane, axis=1)
+            for p in range(1, parts_r):
+                cand = jnp.take_along_axis(
+                    rep(meta_ref[a, p]), lane, axis=1)
+                acc = jnp.where(pix == p, cand, acc)
+            return acc
+
+        def step(t, carry):
+            base, sm1, delay, ptr, pend_start = carry
+            row = idx_ref[t]
+            base_r = gather_meta(0, row)
+            maxs = gather_meta(1, row)
+            prec = gather_meta(2, row).astype(jnp.uint32)
+            ovf = gather_meta(3, row)
+
+            v = vq_ref[t]
+            # Escape mapping: out-of-range on overflow rows -> marker
+            # (row_length - 2); plain clip on bounded rows (reference
+            # ScanCDF clip semantics).
+            vq = jnp.where(
+                v < 0,
+                jnp.where(ovf != 0, maxs, 0),
+                jnp.minimum(v, maxs))
+            pair_u = gather_pairs(base_r + vq).astype(jnp.uint32)
+            c_lo = pair_u >> 16
+            c_hi = pair_u & 0xFFFF
+
+            # RangeEncoder::Encode with per-element precision.
+            a = mul_shift_v(sm1, c_lo, prec)
+            b_ = mul_shift_v(sm1, c_hi, prec) - 1
+            nbase = base + a
+            overflow = nbase < a
+            ns = b_ - a
+            straddle = (nbase + ns) < nbase
+            renorm = (ns >> 16) == 0
+
+            res_event = (delay != 0) & ~straddle
+            shifted_base = nbase << 16
+            shifted_sm1 = (ns << 16) | _U16
+            new_base = jnp.where(renorm, shifted_base, nbase)
+            new_sm1 = jnp.where(renorm, shifted_sm1, ns)
+
+            top = nbase >> 16
+            ambiguous = (shifted_base + shifted_sm1) < shifted_base
+            tag = jnp.where(
+                ~renorm, 0,
+                jnp.where(straddle, 3, jnp.where(ambiguous, 2, 1)),
+            ).astype(jnp.int32)
+
+            new_delay = jnp.where(
+                straddle, delay, jnp.where(tag == 2, top + 1, 0))
+            w_val = jnp.where(
+                tag == 2, top + 1, jnp.where(tag == 1, top, 0))
+            new_pend = jnp.where(tag == 2, ptr, pend_start)
+            new_ptr = ptr + 2 * (tag != 0)
+
+            val = jnp.where(tag > 0, w_val, 0).astype(jnp.int32)
+            rec_ref[t] = (val | (tag << 17)
+                          | (res_event.astype(jnp.int32) << 19)
+                          | (overflow.astype(jnp.int32) << 20))
+            return new_base, new_sm1, new_delay, new_ptr, new_pend
+
+        zero_u = jnp.zeros((sub, 128), jnp.uint32)
+        zero_i = jnp.zeros((sub, 128), jnp.int32)
+        base, sm1, delay, ptr, pend_start = jax.lax.fori_loop(
+            0, num_steps, step,
+            (zero_u, jnp.full((sub, 128), _MASK32, jnp.uint32), zero_u,
+             zero_i, zero_i))
+        state_ref[0] = base.astype(jnp.int32)
+        state_ref[1] = sm1.astype(jnp.int32)
+        state_ref[2] = delay.astype(jnp.int32)
+        state_ref[3] = ptr
+        state_ref[4] = pend_start
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _encode_indexed_call(vq_t, idx_t, pairs, meta, sub):
+    """vq_t/idx_t: int32 [N, NSUB, 128]; pairs: [parts_p, 128];
+    meta: [4, parts_r, 128]."""
+    num_steps, nsub, _ = vq_t.shape
+    parts_p = pairs.shape[0]
+    parts_r = meta.shape[1]
+    grid = (nsub // sub,)
+    kernel = _make_encode_kernel_indexed(num_steps, parts_p, parts_r, sub)
+    io = lambda: pl.BlockSpec((num_steps, sub, 128), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    rec, state = pl.pallas_call(
+        kernel,
+        grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        in_specs=[
+            io(), io(),
+            pl.BlockSpec((parts_p, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, parts_r, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[io(),
+                   pl.BlockSpec((5, sub, 128), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((num_steps, nsub, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((5, nsub, 128), jnp.int32)],
+    )(vq_t, idx_t, pairs, meta)
+    return rec, state
+
+
+def _encode_indexed_tables(cdf, length, precision, overflow):
+    """Packed-pair table + per-row metadata for the indexed encoder."""
+    num_rows = len(length)
+    pairs = []
+    for r in range(num_rows):
+        n = int(length[r])
+        cdfr = np.asarray(cdf[r][:n], np.int64)
+        pairs.append((cdfr[:-1] << 16) | cdfr[1:])
+    row_base = np.concatenate(
+        [[0], np.cumsum([len(x) for x in pairs])[:-1]]).astype(np.int64)
+    flat = np.concatenate(pairs) if pairs else np.zeros(1, np.int64)
+    parts_p = max(-(-len(flat) // 128), 1)
+    flat = np.concatenate(
+        [flat, np.full(parts_p * 128 - len(flat), flat[-1], np.int64)])
+    pairs_arr = flat.astype(np.uint32).view(np.int32).reshape(parts_p, 128)
+
+    parts_r = max(-(-num_rows // 128), 1)
+    def metavec(v):
+        v = np.asarray(v, np.int64)
+        return np.concatenate(
+            [v, np.zeros(parts_r * 128 - num_rows, np.int64)]).astype(
+                np.int32).reshape(parts_r, 128)
+
+    meta = np.stack([
+        metavec(row_base),
+        metavec(np.asarray(length, np.int64) - 2),
+        metavec(precision),
+        metavec(np.asarray(overflow, np.int64)),
+    ])
+    return pairs_arr, meta
+
+
+def encode_indexed_device(symbols, indexes, table, out_size, sub=8):
+    """Fused indexed encode: (symbols, row indexes) -> (bytes, lengths).
+
+    Jittable (symbols/indexes may be traced; the table must be concrete).
+    Escape-free data only (every symbol in range, or sidecar-mapped);
+    all row precisions <= 15.
+
+    Args:
+      symbols: int32 [S, N], S % (sub*128) == 0.
+      indexes: int32 [S, N] CDF row per element.
+      table: DeviceCdfTable.
+      out_size: static output buffer width (>= 2*N + 2).
+      sub: sublane tile height.
+    """
+    from compression_tpu.codec import jax_coder
+
+    num_streams, n = symbols.shape
+    if num_streams % (sub * 128):
+        raise ValueError(f"num_streams {num_streams} % {sub * 128} != 0")
+    cached = getattr(table, "_indexed_encode_tables", None)
+    if cached is None:
+        pairs_arr, meta = _encode_indexed_tables(
+            np.asarray(table.cdf), np.asarray(table.length),
+            np.asarray(table.precision), np.asarray(table.overflow))
+        cached = (jnp.asarray(pairs_arr), jnp.asarray(meta))
+        try:
+            table._indexed_encode_tables = cached
+        except AttributeError:
+            pass
+    pairs_arr, meta = cached
+
+    nsub = num_streams // 128
+    vq_t = jnp.asarray(symbols, jnp.int32).T.reshape(n, nsub, 128)
+    idx_t = jnp.asarray(indexes, jnp.int32).T.reshape(n, nsub, 128)
+    nsub_max = 8 * sub  # see encode_single_row_device: big grids wedge XLA
+    if nsub <= nsub_max:
+        rec, state = _encode_indexed_call(
+            vq_t, idx_t, pairs_arr, meta, int(sub))
+    else:
+        chunks = [
+            _encode_indexed_call(
+                vq_t[:, i:i + nsub_max], idx_t[:, i:i + nsub_max],
+                pairs_arr, meta, int(sub))
+            for i in range(0, nsub, nsub_max)
+        ]
+        rec = jnp.concatenate([c[0] for c in chunks], axis=1)
+        state = jnp.concatenate([c[1] for c in chunks], axis=1)
 
     rec = rec.reshape(n, num_streams)
     state_f = state.reshape(5, num_streams)

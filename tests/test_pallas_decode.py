@@ -277,3 +277,53 @@ def test_encode_v3_kernel_stream_chunking(interpret_pallas):
         jnp.asarray(sym), cdf_row, 10, out_size, sub=1)
     np.testing.assert_array_equal(np.asarray(len0), np.asarray(len1))
     np.testing.assert_array_equal(np.asarray(buf0), np.asarray(buf1))
+
+
+def _mixed_table(rng, num_rows=5, overflow=False, prec_range=(8, 13)):
+    cdfs, precs, ovfs = [], [], []
+    for _ in range(num_rows):
+        prec = int(rng.randint(*prec_range))
+        alpha = int(rng.randint(2, 30))
+        pmf = rng.dirichlet(np.ones(alpha))
+        cdfs.append(tables.pmf_to_quantized_cdf(pmf, prec))
+        precs.append(prec)
+        ovfs.append(overflow)
+    return tables.parse_ragged_cdf(
+        tables.build_ragged_cdf(cdfs, precs, ovfs))
+
+
+def test_encode_indexed_kernel_matches_micro_path(interpret_pallas):
+    """Indexed encode kernel (interpret mode) == micro-op bytes."""
+    rng = np.random.RandomState(11)
+    t = _mixed_table(rng, num_rows=5)
+    S, N = 512, 20
+    len_np = np.asarray(t.length)
+    idx = rng.randint(0, 5, size=(S, N)).astype(np.int32)
+    sym = (rng.randint(0, 1000, size=(S, N)) % (len_np[idx] - 1)).astype(
+        np.int32)
+    buf0, len0 = jax_coder.encode_streams(sym, t, indexes=idx)
+    out_size = buf0.shape[1]
+    buf1, len1 = pallas_coder.encode_indexed_device(
+        jnp.asarray(sym), jnp.asarray(idx), jax_coder.DeviceCdfTable(t),
+        out_size, sub=4)
+    np.testing.assert_array_equal(np.asarray(len0), np.asarray(len1))
+    np.testing.assert_array_equal(np.asarray(buf0), np.asarray(buf1))
+
+
+def test_encode_indexed_kernel_sidecar_escapes(interpret_pallas):
+    """Sidecar escape mapping (out-of-range -> marker) matches the
+    sidecar micro path byte-for-byte."""
+    rng = np.random.RandomState(12)
+    t = _mixed_table(rng, num_rows=3, overflow=True)
+    S, N = 512, 16
+    len_np = np.asarray(t.length)
+    idx = rng.randint(0, 3, size=(S, N)).astype(np.int32)
+    sym = rng.randint(-4, 40, size=(S, N)).astype(np.int32)
+    buf0, len0, esc_pos, esc_val = jax_coder.encode_streams_sidecar(
+        sym, t, indexes=idx)
+    out_size = buf0.shape[1]
+    buf1, len1 = pallas_coder.encode_indexed_device(
+        jnp.asarray(sym), jnp.asarray(idx), jax_coder.DeviceCdfTable(t),
+        out_size, sub=4)
+    np.testing.assert_array_equal(np.asarray(len0), np.asarray(len1))
+    np.testing.assert_array_equal(np.asarray(buf0), np.asarray(buf1))
