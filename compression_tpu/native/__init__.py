@@ -105,3 +105,52 @@ def get_pmf_lib():
             except Exception:
                 _PMF_LIB = None
     return _PMF_LIB
+
+_RC_LIB = None
+_RC_TRIED = False
+
+
+def _build_and_load_rc():
+    src = os.path.join(os.path.dirname(__file__), "range_coder.cc")
+    out = os.path.join(os.path.dirname(__file__), "_range_coder.so")
+    if not os.path.exists(out) or (
+            os.path.getmtime(out) < os.path.getmtime(src)):
+        for cc in ("g++", "c++"):
+            try:
+                subprocess.run(
+                    [cc, "-O2", "-std=c++17", "-shared", "-fPIC",
+                     "-pthread", src, "-o", out],
+                    check=True, capture_output=True, timeout=120)
+                break
+            except (OSError, subprocess.SubprocessError):
+                continue
+        else:
+            return None
+    lib = ctypes.CDLL(out)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ctpu_encode_streams.restype = ctypes.c_int
+    lib.ctpu_encode_streams.argtypes = [
+        c_i32p, c_i32p, ctypes.c_int64, ctypes.c_int64,
+        c_i32p, c_i32p, c_i32p, c_u8p, ctypes.c_int64, ctypes.c_int64,
+        c_u8p, ctypes.c_int64, c_i32p, ctypes.c_int]
+    lib.ctpu_decode_streams.restype = ctypes.c_int
+    lib.ctpu_decode_streams.argtypes = [
+        c_u8p, c_i32p, ctypes.c_int64, c_i32p,
+        ctypes.c_int64, ctypes.c_int64,
+        c_i32p, c_i32p, c_i32p, c_u8p, ctypes.c_int64, ctypes.c_int64,
+        c_i32p, c_u8p, ctypes.c_int]
+    return lib
+
+
+def get_range_coder_lib():
+    """Returns the native host range-coder library, or None."""
+    global _RC_LIB, _RC_TRIED
+    with _LOCK:
+        if not _RC_TRIED:
+            _RC_TRIED = True
+            try:
+                _RC_LIB = _build_and_load_rc()
+            except Exception:
+                _RC_LIB = None
+    return _RC_LIB
