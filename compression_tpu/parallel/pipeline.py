@@ -50,9 +50,8 @@ class BatchCodec:
             data = NamedSharding(self.mesh, P("data"))
 
             def encode(symbols, indexes):
-                ops = jax_coder.micro_ops_from_symbols(
-                    symbols, indexes, table, 1, num_steps)
-                return jax_coder.encode_core(*ops, out_size)
+                return jax_coder.encode_dispatch(
+                    symbols, table, num_steps, out_size, indexes=indexes)
 
             self._encode_jit[key] = jax.jit(
                 encode, in_shardings=(data, data),
