@@ -253,10 +253,40 @@ def _encode_postpass(rec, state, out_size):
     )
     value16 = jnp.where(tag > 0, value16, 0)
 
-    # Compact chunks to the front of each stream: single key-sort along T.
-    if num_steps <= 16382:
-        # Fused (key, value) packing: values are <= 0x10000 (17 bits), so
-        # (t << 17 | value16) sorts by step with the payload in the low
+    # Compact chunks to the front of each stream.
+    if num_steps <= 8192:
+        # Binary-shift compaction: element at step t moves up by
+        # dist = t - rank(t) (rank = # valid chunks at steps <= t).  The
+        # dist sequence is non-decreasing with distinct targets, so moving
+        # every element whose dist has bit b set by 2^b, LSB-first, is
+        # collision-free (two landing on one slot would force
+        # dist_j - dist_i ≡ 2^b (mod 2^{b+1}) AND < 2^b).  ~log2(T) fused
+        # elementwise passes over ONE packed i32 array
+        # [valid(1) | dist(13) | value16(17)] — several times cheaper
+        # than a bitonic sort's ~log^2(T) stages.
+        valid = tag > 0
+        rank = jnp.cumsum(valid.astype(jnp.int32), axis=0) - 1
+        dist = jnp.where(valid, iota - rank, 0)
+        packed = jnp.where(
+            valid,
+            (1 << 30) | (dist << 17) | value16.astype(jnp.int32),
+            0)
+        b = 0
+        while (1 << b) < num_steps:
+            sh = 1 << b
+            src = jnp.concatenate(
+                [packed[sh:], jnp.zeros((sh, num_streams), jnp.int32)],
+                axis=0)
+            take = (src & ((1 << 30) | (sh << 17))) == (
+                (1 << 30) | (sh << 17))
+            stay = (packed & ((1 << 30) | (sh << 17))) == (1 << 30)
+            packed = jnp.where(
+                take, src - (sh << 17), jnp.where(stay, packed, 0))
+            b += 1
+        chunks = (packed & 0x1FFFF).astype(jnp.uint32)
+    elif num_steps <= 16382:
+        # Fused (key, value) packed sort: values are <= 0x10000 (17 bits),
+        # so (t << 17 | value16) sorts by step with the payload in the low
         # bits — one single-operand sort instead of a variadic keyed sort.
         packed = jnp.where(
             tag > 0, (iota << 17) | value16.astype(jnp.int32), big)
