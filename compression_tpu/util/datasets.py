@@ -56,9 +56,17 @@ def image_patch_iterator(
                     np.float32)
 
     exts = (".png", ".jpg", ".jpeg", ".npy")
-    paths = sorted(
-        os.path.join(directory, f) for f in os.listdir(directory)
-        if f.lower().endswith(exts))
+    if os.path.isdir(directory):
+        paths = sorted(
+            os.path.join(directory, f) for f in os.listdir(directory)
+            if f.lower().endswith(exts))
+    else:
+        # Glob pattern (the reference's --train_glob semantics,
+        # e.g. 'images/*.png').
+        import glob as _glob
+
+        paths = sorted(
+            p for p in _glob.glob(directory) if p.lower().endswith(exts))
     if not paths:
         raise ValueError(f"No images found in {directory}")
     images = []
