@@ -321,13 +321,15 @@ class BMSHJ2018Codec:
 def main(argv=None):
     from compression_tpu.models import cli
 
-    def build_model(config):
-        return BMSHJ2018Model(
-            lmbda=config.get("lmbda", 0.01),
-            num_filters=config.get("num_filters", 128))
+    defaults = dict(
+        lmbda=0.01, num_filters=128, num_scales=64,
+        scale_min=0.11, scale_max=256.0)
 
-    cli.run("bmshj2018", dict(lmbda=0.01, num_filters=128),
-            build_model, BMSHJ2018Codec, argv)
+    def build_model(config):
+        kwargs = {k: config.get(k, v) for k, v in defaults.items()}
+        return BMSHJ2018Model(**kwargs)
+
+    cli.run("bmshj2018", defaults, build_model, BMSHJ2018Codec, argv)
 
 
 if __name__ == "__main__":

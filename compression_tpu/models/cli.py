@@ -28,10 +28,17 @@ def make_parser(model_name, defaults):
 
     t = sub.add_parser("train", help="Train the model.")
     t.add_argument("--model_path", default=f"{model_name}_ckpt")
-    t.add_argument("--lambda", dest="lmbda", type=float,
-                   default=defaults.get("lmbda", 0.01))
-    t.add_argument("--num_filters", type=int,
-                   default=defaults.get("num_filters", 128))
+    # Every model hyperparameter becomes a flag (reference CLI semantics:
+    # ms2020.py exposes latent_depth/num_slices/..., bmshj2018 num_scales/
+    # scale_min/scale_max, ...) and is persisted in the checkpoint config
+    # so compress/decompress rebuild the exact architecture.
+    for key, val in defaults.items():
+        flag = "--lambda" if key == "lmbda" else f"--{key}"
+        if isinstance(val, bool):
+            t.add_argument(flag, dest=key,
+                           action="store_false" if val else "store_true")
+        else:
+            t.add_argument(flag, dest=key, type=type(val), default=val)
     t.add_argument("--train_glob", default=None,
                    help="Directory of training images (png/jpg/npy). "
                         "Default: synthetic noise (smoke run).")
@@ -88,8 +95,7 @@ def run(model_name, defaults, build_model, build_codec, argv=None):
                 print(f"step {step}: " + " ".join(
                     f"{k}={float(v):.4f}" for k, v in metrics.items()),
                     flush=True)
-        config = {k: v for k, v in vars(args).items()
-                  if k in ("lmbda", "num_filters")}
+        config = {k: getattr(args, k) for k in defaults}
         config["model_name"] = model_name
         ckpt_lib.save_checkpoint(args.model_path, params, config=config)
         print(f"saved checkpoint to {args.model_path}")

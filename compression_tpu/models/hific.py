@@ -474,8 +474,14 @@ class HiFiCCodec:
 
 def train(config: HiFiCConfig = HiFiCConfig(), steps=1000, batch_size=2,
           patchsize=256, learning_rate=1e-4, data_iter=None, seed=0,
-          num_steps_disc=1, log_every=100):
-    """Two-optimizer GAN training loop (reference model.py build_model)."""
+          num_steps_disc=1, log_every=100, init_params=None,
+          lpips_weights_path=None):
+    """Two-optimizer GAN training loop (reference model.py build_model).
+
+    ``init_params`` warm-starts the generator (the reference's
+    ``--init_autoencoder_from_ckpt_dir``: GAN training starts from a
+    converged 'mselpips' model, models/hific/train.py).
+    """
     import numpy as np_
 
     model = HiFiCModel(cfg=config)
@@ -483,7 +489,8 @@ def train(config: HiFiCConfig = HiFiCConfig(), steps=1000, batch_size=2,
     key = jax.random.PRNGKey(seed)
     key, init_key = jax.random.split(key)
     dummy = jnp.zeros((1, patchsize, patchsize, 3))
-    params = model.init(init_key, dummy, training=False)
+    params = (init_params if init_params is not None
+              else model.init(init_key, dummy, training=False))
 
     d_params = d_state = d_opt_state = d_vars = None
     g_opt = optax.adam(learning_rate)
@@ -498,7 +505,8 @@ def train(config: HiFiCConfig = HiFiCConfig(), steps=1000, batch_size=2,
         d_state = {k: v for k, v in d_vars.items() if k != "params"}
         d_opt_state = d_opt.init(d_params)
 
-    g_step, d_step = make_train_steps(model, disc, g_opt, d_opt)
+    g_step, d_step = make_train_steps(
+        model, disc, g_opt, d_opt, lpips_weights_path=lpips_weights_path)
 
     def default_iter():
         rng = np_.random.RandomState(seed)
@@ -543,3 +551,101 @@ def get_config(config_name: str) -> HiFiCConfig:
 
 def valid_configs():
     return sorted(_CONFIGS)
+
+
+def main(argv=None):
+    """HiFiC CLI: train / compress / decompress.
+
+    Mirrors the reference entry points (models/hific/train.py flags
+    --config/--num_steps/--batch_size/--crop_size/--num_steps_disc/
+    --init_autoencoder_from_ckpt_dir/--lpips_weight_path; evaluate.py for
+    the inference side) as subcommands of one tool.
+    """
+    import argparse
+
+    from compression_tpu.util import checkpoint as ckpt_lib
+    from compression_tpu.util import datasets
+
+    parser = argparse.ArgumentParser(
+        prog="hific", description="HiFiC TPU codec")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="Train a HiFiC model.")
+    t.add_argument("--config", default="hific", choices=valid_configs(),
+                   help="'hific' = GAN training, 'mselpips' = no GAN.")
+    t.add_argument("--model_path", default="hific_ckpt")
+    t.add_argument("--train_glob", default=None,
+                   help="Glob/directory of training images; default = "
+                        "synthetic noise (smoke run).")
+    t.add_argument("--num_steps", type=int, default=10000)
+    t.add_argument("--batchsize", type=int, default=2)
+    t.add_argument("--patchsize", type=int, default=256)
+    t.add_argument("--learning_rate", type=float, default=1e-4)
+    t.add_argument("--num_steps_disc", type=int, default=1)
+    t.add_argument("--target", type=float, default=None,
+                   help="Override the config's target bpp.")
+    t.add_argument("--lpips_weights_path", default=None,
+                   help="Local VGG/LPIPS npz (no network egress here).")
+    t.add_argument("--warm_start", default=None,
+                   help="Checkpoint dir to initialize the generator from "
+                        "(reference --init_autoencoder_from_ckpt_dir).")
+    t.add_argument("--seed", type=int, default=0)
+
+    for name in ("compress", "decompress"):
+        c = sub.add_parser(name)
+        c.add_argument("--model_path", default="hific_ckpt")
+        c.add_argument("input_file")
+        c.add_argument("output_file", nargs="?")
+
+    args = parser.parse_args(argv)
+
+    if args.command == "train":
+        cfg = get_config(args.config)
+        if args.target is not None:
+            cfg = cfg._replace(target=args.target)
+        init_params = None
+        if args.warm_start:
+            payload, _ = ckpt_lib.load_checkpoint(args.warm_start)
+            init_params = payload["params"]
+        data_iter = None
+        if args.train_glob:
+            data_iter = datasets.image_patch_iterator(
+                args.train_glob, args.batchsize, args.patchsize, args.seed)
+        model, params = train(
+            cfg, steps=args.num_steps, batch_size=args.batchsize,
+            patchsize=args.patchsize, learning_rate=args.learning_rate,
+            data_iter=data_iter, seed=args.seed,
+            num_steps_disc=args.num_steps_disc, init_params=init_params,
+            lpips_weights_path=args.lpips_weights_path)
+        ckpt_lib.save_checkpoint(
+            args.model_path, params,
+            config={"model_name": "hific", "config": args.config,
+                    "target": cfg.target})
+        print(f"saved checkpoint to {args.model_path}")
+        return
+
+    payload, config = ckpt_lib.load_checkpoint(args.model_path)
+    cfg = get_config((config or {}).get("config", "hific"))
+    if config and config.get("target") is not None:
+        cfg = cfg._replace(target=config["target"])
+    codec = HiFiCCodec(HiFiCModel(cfg=cfg), payload["params"])
+
+    if args.command == "compress":
+        img = datasets.load_image(args.input_file)
+        container = codec.compress(img)
+        out = args.output_file or args.input_file + ".tfci"
+        with open(out, "wb") as f:
+            f.write(container)
+        bpp = len(container) * 8 / (img.shape[0] * img.shape[1])
+        print(f"{out}: {len(container)} bytes, {bpp:.4f} bpp")
+    else:
+        with open(args.input_file, "rb") as f:
+            container = f.read()
+        img = codec.decompress(container)
+        out = args.output_file or args.input_file + ".png"
+        datasets.save_image(out, img)
+        print(f"wrote {out} ({img.shape[1]}x{img.shape[0]})")
+
+
+if __name__ == "__main__":
+    main()

@@ -616,13 +616,16 @@ class MS2020Codec:
 def main(argv=None):
     from compression_tpu.models import cli
 
-    def build_model(config):
-        return MS2020Model(
-            lmbda=config.get("lmbda", 0.01),
-            num_filters=config.get("num_filters", 192))
+    defaults = dict(
+        lmbda=0.01, num_filters=192, latent_depth=320,
+        hyperprior_depth=192, num_slices=10, max_support_slices=5,
+        num_scales=64, scale_min=0.11, scale_max=256.0)
 
-    cli.run("ms2020", dict(lmbda=0.01, num_filters=192),
-            build_model, MS2020Codec, argv)
+    def build_model(config):
+        kwargs = {k: config.get(k, v) for k, v in defaults.items()}
+        return MS2020Model(**kwargs)
+
+    cli.run("ms2020", defaults, build_model, MS2020Codec, argv)
 
 
 if __name__ == "__main__":
