@@ -66,15 +66,14 @@ def bench_tpu(table, symbols):
     dev_table = jax_coder.DeviceCdfTable(table)
     num_steps = NUM_ELEMENTS
     out_size = 2 * num_steps + 4
-    indexes = np.zeros((NUM_STREAMS, NUM_ELEMENTS), np.int32)
 
     sym_d = jnp.asarray(symbols)
-    idx_d = jnp.asarray(indexes)
+    idx_d = None
 
     def encode(sym, idx):
-        ops = jax_coder.micro_ops_from_symbols(
-            sym, idx, dev_table, 1, num_steps)
-        return jax_coder.encode_core(*ops, out_size)
+        # Production dispatch: fused Pallas kernel on TPU (single-row
+        # no-overflow tables), micro-op XLA pipeline elsewhere.
+        return jax_coder.encode_dispatch(sym, dev_table, num_steps, out_size)
 
     encode_j = jax.jit(encode)
     buf, lengths = jax.block_until_ready(encode_j(sym_d, idx_d))

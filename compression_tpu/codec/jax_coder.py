@@ -57,11 +57,48 @@ _U16 = jnp.uint32(0xFFFF)
 _MASK32 = (1 << 32) - 1
 
 
+class _HostTableMeta:
+    """Static host copy of the CDF table for trace-time decisions.
+
+    Rides in the pytree AUX data of DeviceCdfTable, so kernel dispatch
+    (applicability checks, packed-table construction) stays concrete even
+    when the device arrays are jit-traced arguments.  Hashable (jit cache
+    keys hash the treedef aux); kernel-specific packed tables are cached
+    on this object, surviving pytree flatten/unflatten round trips.
+    """
+
+    def __init__(self, cdf, length, precision, overflow):
+        self.cdf = np.ascontiguousarray(cdf)
+        self.length = np.ascontiguousarray(length)
+        self.precision = np.ascontiguousarray(precision)
+        self.overflow = np.ascontiguousarray(overflow)
+        for a in (self.cdf, self.length, self.precision, self.overflow):
+            a.setflags(write=False)
+        self.kernel_tables = {}  # per-kernel packed-table cache
+        self._hash = None
+
+    def _key(self):
+        return (self.cdf.shape, self.cdf.tobytes(), self.length.tobytes(),
+                self.precision.tobytes(), self.overflow.tobytes())
+
+    def __hash__(self):
+        if self._hash is None:
+            self._hash = hash(self._key())
+        return self._hash
+
+    def __eq__(self, other):
+        if self is other:
+            return True
+        return (isinstance(other, _HostTableMeta)
+                and self._key() == other._key())
+
+
 class DeviceCdfTable:
     """Dense CDF table as device arrays (rows padded to a rectangle).
 
     Registered as a jax pytree (arrays are leaves; the static row counts
-    are aux data) so it can cross jit boundaries as an argument.
+    and a host copy of the table are aux data) so it can cross jit
+    boundaries as an argument while kernel dispatch stays concrete.
     """
 
     def __init__(self, table: tables.CdfTable = None, *, _arrays=None,
@@ -74,14 +111,16 @@ class DeviceCdfTable:
             self.num_rows = int(table.num_rows)
             self.max_len = int(table.max_len)
             self.any_overflow = bool(np.any(table.overflow))
+            self.host = _HostTableMeta(
+                table.cdf, table.length, table.precision, table.overflow)
         else:
             self.cdf, self.length, self.precision, self.overflow = _arrays
-            self.num_rows, self.max_len, self.any_overflow = _aux
+            self.num_rows, self.max_len, self.any_overflow, self.host = _aux
 
 
 def _dct_flatten(t):
     return ((t.cdf, t.length, t.precision, t.overflow),
-            (t.num_rows, t.max_len, t.any_overflow))
+            (t.num_rows, t.max_len, t.any_overflow, t.host))
 
 
 def _dct_unflatten(aux, arrays):
@@ -887,8 +926,8 @@ def encode_streams(symbols, table, indexes=None) -> tuple[np.ndarray, np.ndarray
     indexes = np.asarray(indexes, np.int32)
 
     # Static micro-op budget (slots per symbol K, scan length T).
-    len_np = np.asarray(table.length)
-    ovf_np = np.asarray(table.overflow)
+    len_np = table.host.length
+    ovf_np = table.host.overflow
     mv = len_np[indexes] - 2
     ovf = ovf_np[indexes]
     sign = ovf & (symbols < 0)
@@ -922,7 +961,7 @@ def _pallas_encode_applicable(table) -> bool:
     return (backend == "tpu"
             and int(table.num_rows) == 1
             and not bool(table.any_overflow)
-            and int(np.asarray(table.precision)[0]) <= 15)
+            and int(table.host.precision[0]) <= 15)
 
 
 def _pallas_encode_indexed_applicable(table) -> bool:
@@ -940,9 +979,9 @@ def _pallas_encode_indexed_applicable(table) -> bool:
         return False
     if backend != "tpu":
         return False
-    if int(np.asarray(table.precision).max()) > 15:
+    if int(table.host.precision.max()) > 15:
         return False
-    total_pairs = int(np.sum(np.asarray(table.length) - 1))
+    total_pairs = int(np.sum(table.host.length - 1))
     return total_pairs <= 16384 and int(table.num_rows) <= 4096
 
 
@@ -964,9 +1003,9 @@ def encode_dispatch(symbols, table, num_steps, out_size, indexes=None):
         from compression_tpu.codec import pallas_coder
 
         sym_p = jnp.pad(symbols, ((0, pad), (0, 0))) if pad else symbols
-        cdf_row = np.asarray(table.cdf[0][: int(table.length[0])])
+        cdf_row = table.host.cdf[0][: int(table.host.length[0])]
         buf, lengths = pallas_coder.encode_single_row_device(
-            sym_p, cdf_row, int(table.precision[0]), out_size, sub=sub)
+            sym_p, cdf_row, int(table.host.precision[0]), out_size, sub=sub)
         return buf[:num_streams], lengths[:num_streams]
 
     if _pallas_encode_indexed_applicable(table) and num_steps >= n:
@@ -1037,8 +1076,8 @@ def encode_streams_sidecar(symbols, table, indexes=None):
             np.arange(n, dtype=np.int32) % table.num_rows, (num_streams, n))
     indexes = np.asarray(indexes, np.int32)
 
-    len_np = np.asarray(table.length)
-    ovf_np = np.asarray(table.overflow)
+    len_np = table.host.length
+    ovf_np = table.host.overflow
     mv = len_np[indexes] - 2
     escape = ovf_np[indexes] & ((symbols < 0) | (symbols >= mv))
     s_ix, e_ix = np.nonzero(escape)
@@ -1150,13 +1189,13 @@ def _pallas_indexed_applicable(table, in_stream_gamma=None) -> bool:
         return False
     if backend != "tpu":
         return False
-    if int(np.asarray(table.precision).max()) > 15:
+    if int(table.host.precision.max()) > 15:
         return False
     if in_stream_gamma is None:
         in_stream_gamma = bool(table.any_overflow)
     # Total bucket count caps the packed window parts (gather cost).
     total_buckets = int(
-        np.sum(-(-np.asarray(table.length) // 16)))
+        np.sum(-(-table.host.length // 16)))
     return total_buckets <= 16384 and int(table.num_rows) <= 4096
 
 
@@ -1194,10 +1233,10 @@ def decode_dispatch(src16, byte_lens, num_elements, table, indexes=None):
         pad = (-num_streams) % (sub * 128)
         src_p = jnp.pad(src16, ((0, pad), (0, 0))) if pad else src16
         len_p = jnp.pad(byte_lens, (0, pad)) if pad else byte_lens
-        cdf_row = np.asarray(table.cdf[0][: int(table.length[0])])
+        cdf_row = table.host.cdf[0][: int(table.host.length[0])]
         symbols, sanity = pallas_coder.decode_scan_pallas_v2(
             src_p, len_p, int(num_elements), cdf_row,
-            int(table.precision[0]), sub=sub)
+            int(table.host.precision[0]), sub=sub)
         return symbols[:num_streams], sanity[:num_streams]
 
     if indexes is None:

@@ -1141,20 +1141,17 @@ def decode_indexed_pallas(src16, byte_lens, indexes, num_symbols, table,
     num_streams = src16.shape[0]
     if num_streams % (sub * 128):
         raise ValueError(f"num_streams {num_streams} % {sub * 128} != 0")
-    cached = getattr(table, "_indexed_kernel_tables", None)
+    host = table.host
+    cached = host.kernel_tables.get("indexed_decode")
     if cached is None:
         w_packed, meta, max_nb = _decode_indexed_tables(
-            np.asarray(table.cdf), np.asarray(table.length),
-            np.asarray(table.precision), np.asarray(table.overflow))
+            host.cdf, host.length, host.precision, host.overflow)
         cached = (jnp.asarray(w_packed), jnp.asarray(meta), max_nb)
-        try:
-            table._indexed_kernel_tables = cached
-        except AttributeError:
-            pass
+        host.kernel_tables["indexed_decode"] = cached
     w_packed, meta, max_nb = cached
     bs_iters = max(int(np.ceil(np.log2(max_nb))), 0) if max_nb > 1 else 0
     if in_stream_gamma is None:
-        in_stream_gamma = bool(np.asarray(table.overflow).any())
+        in_stream_gamma = bool(host.overflow.any())
     return _decode_indexed_call(
         src16, byte_lens, indexes, w_packed, meta, int(num_symbols),
         bs_iters, bool(in_stream_gamma), int(sub))
@@ -1592,16 +1589,13 @@ def encode_indexed_device(symbols, indexes, table, out_size, sub=8):
     num_streams, n = symbols.shape
     if num_streams % (sub * 128):
         raise ValueError(f"num_streams {num_streams} % {sub * 128} != 0")
-    cached = getattr(table, "_indexed_encode_tables", None)
+    host = table.host
+    cached = host.kernel_tables.get("indexed_encode")
     if cached is None:
         pairs_arr, meta = _encode_indexed_tables(
-            np.asarray(table.cdf), np.asarray(table.length),
-            np.asarray(table.precision), np.asarray(table.overflow))
+            host.cdf, host.length, host.precision, host.overflow)
         cached = (jnp.asarray(pairs_arr), jnp.asarray(meta))
-        try:
-            table._indexed_encode_tables = cached
-        except AttributeError:
-            pass
+        host.kernel_tables["indexed_encode"] = cached
     pairs_arr, meta = cached
 
     nsub = num_streams // 128
