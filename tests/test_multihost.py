@@ -1,0 +1,67 @@
+"""Real multi-process jax.distributed coverage (2 CPU processes).
+
+SURVEY.md §2.13/§5: table broadcast from process 0 and deterministic
+process-order bitstream gather must reproduce the single-process bytes
+exactly.  The reference has no multi-process anything; this is the
+TPU-native scaling contract.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+from compression_tpu.codec import jax_coder, tables
+
+_WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_table_broadcast_and_gather(tmp_path):
+    port = _free_port()
+    out = str(tmp_path / "gathered.npz")
+    env = {
+        "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+        "HOME": os.environ.get("HOME", "/root"),
+        # Scrubbed env (no axon sitecustomize), pure CPU backend.
+        "PYTHONPATH": os.path.dirname(os.path.dirname(_WORKER)),
+        "JAX_PLATFORMS": "cpu",
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, f"127.0.0.1:{port}", "2", str(pid),
+             out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(2)
+    ]
+    outputs = []
+    try:
+        for p in procs:
+            stdout, _ = p.communicate(timeout=240)
+            outputs.append(stdout)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, text in zip(procs, outputs):
+        assert p.returncode == 0, text[-2000:]
+
+    data = np.load(out)
+    table = tables.parse_ragged_cdf(data["ragged"])
+    # Single-process encode of the full batch == gathered multi-process
+    # bytes, stream for stream.
+    buf0, len0 = jax_coder.encode_streams(data["symbols"], table)
+    np.testing.assert_array_equal(len0, data["lengths"])
+    np.testing.assert_array_equal(buf0, data["buf"])
+    # And the gathered streams decode back to the symbols.
+    sym, sanity = jax_coder.decode_streams(
+        data["buf"], data["lengths"], data["symbols"].shape[1], table)
+    np.testing.assert_array_equal(sym, data["symbols"])
+    assert bool(np.all(sanity))
