@@ -337,6 +337,18 @@ def _encode_postpass(rec, state, out_size):
         _, chunks = jax.lax.sort(
             (key, value16), dimension=0, num_keys=1)
     chunks = chunks.T  # [S, T], valid prefix per stream
+    return _finalize_chunks(chunks, state, out_size)
+
+
+def _finalize_chunks(chunks, state, out_size):
+    """Bytes + lengths from compacted 16-bit chunks [S, T] + coder state.
+
+    Shared tail of the XLA post-pass and the fused kernels with in-kernel
+    compaction: byte interleave, RangeEncoder::Finalize, and trailing
+    truncation of unresolved carry groups.
+    """
+    base, sm1, delay, ptr, pend_start = state
+    num_streams, num_steps = chunks.shape
 
     # Interleave hi/lo bytes: [S, T] u16-in-u32 -> [S, 2T] u8.  (A u16
     # byteswap + bitcast formulation is algebraically cheaper but wedges

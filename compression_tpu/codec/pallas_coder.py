@@ -1181,7 +1181,85 @@ def decode_indexed_pallas(src16, byte_lens, indexes, num_symbols, table,
 # of batched entropy models); everything else takes the micro-op path.
 
 
-def _make_encode_kernel_v3(num_steps, precision, nb, sub):
+def _kernel_chunk_postpass(rec_ref, out_ref, num_steps, sub):
+    """In-kernel record resolution + compaction (VMEM-resident).
+
+    Replaces jax_coder._encode_postpass's reverse cummin + binary-shift
+    compaction, which are HBM-bound as whole-array XLA passes (~2x the
+    fused kernel's own time at [32k, 512]).  Reads packed records
+    val(17) | tag(2) | res_event(1) | res_dir(1) from ``rec_ref``
+    (scratch, destroyed) and writes compacted 16-bit chunk values (the
+    valid prefix per lane, zeros past it) to ``out_ref``.
+
+    Requires num_steps <= 8192 (move distance packed in 13 bits).
+    """
+    big = jnp.int32(0x7FFFFFFF)
+    valid_bit = jnp.int32(1 << 30)
+
+    # Reverse sweep: each pending chunk resolves in the direction of the
+    # first resolution event strictly after its step (none -> up), fused
+    # with the forward-rank bookkeeping's input form: rec becomes
+    # valid(1<<30) | value16.
+    def rev_step(tt, nearest):
+        t = num_steps - 1 - tt
+        r = rec_ref[t]
+        tag = (r >> 17) & 3
+        val = r & 0x1FFFF
+        # up as int 0/1 (Mosaic rejects bool-vector truncations here).
+        up = jnp.where(nearest != big, nearest & 1, 1)
+        value16 = jnp.where(
+            tag == 1, val,
+            jnp.where(tag == 2, val - 1 + up, (1 - up) * 0xFFFF))
+        rec_ref[t] = jnp.where(tag > 0, valid_bit | value16, 0)
+        event = (r >> 19) & 1
+        return jnp.where(event != 0, (t << 1) | ((r >> 20) & 1), nearest)
+
+    jax.lax.fori_loop(
+        0, num_steps, rev_step, jnp.full((sub, 128), big, jnp.int32))
+
+    # Forward sweep: move-up distance = t - rank (rank = # valid chunks at
+    # steps <= t), packed into bits 17..29.
+    def fwd_step(t, count):
+        p = rec_ref[t]
+        v = p >> 30
+        count = count + v
+        dist = jnp.where(v != 0, t - (count - 1), 0)
+        rec_ref[t] = p | (dist << 17)
+        return count
+
+    jax.lax.fori_loop(
+        0, num_steps, fwd_step, jnp.zeros((sub, 128), jnp.int32))
+
+    # Collision-free binary-shift compaction (same invariant as
+    # jax_coder._encode_postpass): moving every element whose dist has bit
+    # b set up by 2^b, LSB-first, never collides.  In-place ascending is
+    # safe: reads are at t + sh > t, not yet overwritten this pass.  The
+    # last pass writes the stripped chunk values to out_ref.
+    nbits = max((num_steps - 1).bit_length(), 1)
+    for b in range(nbits):
+        sh = 1 << b
+        last = b == nbits - 1
+
+        def shift_step(t, _, sh=sh, last=last):
+            cur = rec_ref[t]
+            tsrc = jnp.minimum(t + sh, num_steps - 1)
+            src = jnp.where(t + sh < num_steps, rec_ref[tsrc], 0)
+            take = (src & (valid_bit | (sh << 17))) == (
+                valid_bit | (sh << 17))
+            stay = (cur & (valid_bit | (sh << 17))) == valid_bit
+            new = jnp.where(take, src - (sh << 17),
+                            jnp.where(stay, cur, 0))
+            if last:
+                out_ref[t] = new & 0x1FFFF
+            else:
+                rec_ref[t] = new
+            return 0
+
+        jax.lax.fori_loop(0, num_steps, shift_step, 0)
+
+
+def _make_encode_kernel_v3(num_steps, precision, nb, sub,
+                           fused_postpass=False):
     """Builds the fused encode kernel for one shared CDF row.
 
     Static parameters:
@@ -1189,10 +1267,13 @@ def _make_encode_kernel_v3(num_steps, precision, nb, sub):
       precision: range-coder precision of the row (<= 15).
       nb: number of 16-wide packed-pair buckets.
       sub: sublane tile height (streams per program = sub * 128).
+      fused_postpass: resolve + compact records in-kernel; the first
+        output then holds compacted 16-bit chunks instead of records.
     """
     shift_up = 32 - precision
 
-    def kernel(vq_ref, win_ref, rec_ref, state_ref):
+    def kernel(vq_ref, win_ref, out_ref, state_ref, *scratch):
+        rec_ref = scratch[0] if fused_postpass else out_ref
         def mul_size(sm1, v):
             h = sm1 >> 16
             l = sm1 & 0xFFFF
@@ -1280,17 +1361,20 @@ def _make_encode_kernel_v3(num_steps, precision, nb, sub):
         state_ref[2] = delay.astype(jnp.int32)
         state_ref[3] = ptr
         state_ref[4] = pend_start
+        if fused_postpass:
+            _kernel_chunk_postpass(rec_ref, out_ref, num_steps, sub)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _encode_v3_call(vq_t, win, precision, sub):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _encode_v3_call(vq_t, win, precision, sub, fused=False):
     """vq_t: int32 [N, NSUB, 128]; win: int32 [1, nb*16] packed pairs."""
     num_steps, nsub, _ = vq_t.shape
     nb = win.shape[1] // 16
     grid = (nsub // sub,)
-    kernel = _make_encode_kernel_v3(num_steps, precision, nb, sub)
+    kernel = _make_encode_kernel_v3(
+        num_steps, precision, nb, sub, fused_postpass=fused)
     io = lambda: pl.BlockSpec((num_steps, sub, 128), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)
     rec, state = pl.pallas_call(
@@ -1306,6 +1390,9 @@ def _encode_v3_call(vq_t, win, precision, sub):
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((num_steps, nsub, 128), jnp.int32),
                    jax.ShapeDtypeStruct((5, nsub, 128), jnp.int32)],
+        scratch_shapes=(
+            [pltpu.VMEM((num_steps, sub, 128), jnp.int32)] if fused
+            else []),
     )(vq_t, win)
     return rec, state
 
@@ -1349,12 +1436,14 @@ def encode_single_row_device(symbols, cdf_row, precision, out_size, sub=8):
     # seconds.  Chunk the stream axis and emit one call per chunk — same
     # Mosaic binary, same total device work.
     nsub_max = 8 * sub
+    fused = n <= 8192  # in-kernel compaction packs move distance in 13 bits
     if nsub <= nsub_max:
-        rec, state = _encode_v3_call(vq_t, win_d, int(precision), int(sub))
+        rec, state = _encode_v3_call(
+            vq_t, win_d, int(precision), int(sub), fused)
     else:
         chunks = [
             _encode_v3_call(vq_t[:, i:i + nsub_max], win_d,
-                            int(precision), int(sub))
+                            int(precision), int(sub), fused)
             for i in range(0, nsub, nsub_max)
         ]
         rec = jnp.concatenate([c[0] for c in chunks], axis=1)
@@ -1362,11 +1451,12 @@ def encode_single_row_device(symbols, cdf_row, precision, out_size, sub=8):
 
     rec = rec.reshape(n, num_streams)
     state_f = state.reshape(5, num_streams)
-    return jax_coder._encode_postpass(
-        rec,
-        (state_f[0].astype(jnp.uint32), state_f[1].astype(jnp.uint32),
-         state_f[2].astype(jnp.uint32), state_f[3], state_f[4]),
-        out_size)
+    state_t = (state_f[0].astype(jnp.uint32), state_f[1].astype(jnp.uint32),
+               state_f[2].astype(jnp.uint32), state_f[3], state_f[4])
+    if fused:
+        return jax_coder._finalize_chunks(
+            rec.T.astype(jnp.uint32), state_t, out_size)
+    return jax_coder._encode_postpass(rec, state_t, out_size)
 
 
 # -----------------------------------------------------------------------------
@@ -1387,7 +1477,8 @@ def encode_single_row_device(symbols, cdf_row, precision, out_size, sub=8):
 # row (16-bit pair packing).
 
 
-def _make_encode_kernel_indexed(num_steps, parts_p, parts_r, sub):
+def _make_encode_kernel_indexed(num_steps, parts_p, parts_r, sub,
+                                fused_postpass=False):
     """Builds the lane-major indexed encode kernel.
 
     Static parameters:
@@ -1397,7 +1488,10 @@ def _make_encode_kernel_indexed(num_steps, parts_p, parts_r, sub):
       sub: sublane tile height (streams per program = sub * 128).
     """
 
-    def kernel(vq_ref, idx_ref, pairs_ref, meta_ref, rec_ref, state_ref):
+    def kernel(vq_ref, idx_ref, pairs_ref, meta_ref, out_ref, state_ref,
+               *scratch):
+        rec_ref = scratch[0] if fused_postpass else out_ref
+
         def mul_size(sm1, v):
             h = sm1 >> 16
             l = sm1 & 0xFFFF
@@ -1502,19 +1596,22 @@ def _make_encode_kernel_indexed(num_steps, parts_p, parts_r, sub):
         state_ref[2] = delay.astype(jnp.int32)
         state_ref[3] = ptr
         state_ref[4] = pend_start
+        if fused_postpass:
+            _kernel_chunk_postpass(rec_ref, out_ref, num_steps, sub)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def _encode_indexed_call(vq_t, idx_t, pairs, meta, sub):
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _encode_indexed_call(vq_t, idx_t, pairs, meta, sub, fused=False):
     """vq_t/idx_t: int32 [N, NSUB, 128]; pairs: [parts_p, 128];
     meta: [4, parts_r, 128]."""
     num_steps, nsub, _ = vq_t.shape
     parts_p = pairs.shape[0]
     parts_r = meta.shape[1]
     grid = (nsub // sub,)
-    kernel = _make_encode_kernel_indexed(num_steps, parts_p, parts_r, sub)
+    kernel = _make_encode_kernel_indexed(
+        num_steps, parts_p, parts_r, sub, fused_postpass=fused)
     io = lambda: pl.BlockSpec((num_steps, sub, 128), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)
     rec, state = pl.pallas_call(
@@ -1534,6 +1631,9 @@ def _encode_indexed_call(vq_t, idx_t, pairs, meta, sub):
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((num_steps, nsub, 128), jnp.int32),
                    jax.ShapeDtypeStruct((5, nsub, 128), jnp.int32)],
+        scratch_shapes=(
+            [pltpu.VMEM((num_steps, sub, 128), jnp.int32)] if fused
+            else []),
     )(vq_t, idx_t, pairs, meta)
     return rec, state
 
@@ -1602,14 +1702,15 @@ def encode_indexed_device(symbols, indexes, table, out_size, sub=8):
     vq_t = jnp.asarray(symbols, jnp.int32).T.reshape(n, nsub, 128)
     idx_t = jnp.asarray(indexes, jnp.int32).T.reshape(n, nsub, 128)
     nsub_max = 8 * sub  # see encode_single_row_device: big grids wedge XLA
+    fused = n <= 8192  # in-kernel compaction packs move distance in 13 bits
     if nsub <= nsub_max:
         rec, state = _encode_indexed_call(
-            vq_t, idx_t, pairs_arr, meta, int(sub))
+            vq_t, idx_t, pairs_arr, meta, int(sub), fused)
     else:
         chunks = [
             _encode_indexed_call(
                 vq_t[:, i:i + nsub_max], idx_t[:, i:i + nsub_max],
-                pairs_arr, meta, int(sub))
+                pairs_arr, meta, int(sub), fused)
             for i in range(0, nsub, nsub_max)
         ]
         rec = jnp.concatenate([c[0] for c in chunks], axis=1)
@@ -1617,11 +1718,12 @@ def encode_indexed_device(symbols, indexes, table, out_size, sub=8):
 
     rec = rec.reshape(n, num_streams)
     state_f = state.reshape(5, num_streams)
-    return jax_coder._encode_postpass(
-        rec,
-        (state_f[0].astype(jnp.uint32), state_f[1].astype(jnp.uint32),
-         state_f[2].astype(jnp.uint32), state_f[3], state_f[4]),
-        out_size)
+    state_t = (state_f[0].astype(jnp.uint32), state_f[1].astype(jnp.uint32),
+               state_f[2].astype(jnp.uint32), state_f[3], state_f[4])
+    if fused:
+        return jax_coder._finalize_chunks(
+            rec.T.astype(jnp.uint32), state_t, out_size)
+    return jax_coder._encode_postpass(rec, state_t, out_size)
 
 
 # -----------------------------------------------------------------------------
