@@ -197,6 +197,10 @@ int main(int argc, char** argv) {
 def main():
     table, symbols, cdf = make_workload()
     value, t_enc, t_dec = bench_tpu(table, symbols)
+    n = NUM_STREAMS * NUM_ELEMENTS
+    print(f"encode: {t_enc * 1e3:.2f} ms ({n / t_enc / 1e6:.0f} M sym/s)  "
+          f"decode: {t_dec * 1e3:.2f} ms ({n / t_dec / 1e6:.0f} M sym/s)",
+          file=sys.stderr)
     baseline = _measure_baseline(cdf, symbols)
     if baseline is None:
         baseline = FALLBACK_BASELINE_SYMBOLS_PER_S

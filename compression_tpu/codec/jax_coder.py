@@ -963,8 +963,9 @@ def encode_streams(symbols, table, indexes=None) -> tuple[np.ndarray, np.ndarray
 def _pallas_encode_applicable(table) -> bool:
     """True when the fused single-row Pallas encode kernel serves this table.
 
-    Single shared row, no overflow, precision <= 15 (16-bit packed CDF
-    pairs), on a real TPU backend.  Mirrors _pallas_decode_applicable.
+    Single shared row, no overflow, precision <= 16 (pairs pack
+    cdf[v] and cdf[v+1]-1 in 16 bits each), on a real TPU backend.
+    Mirrors _pallas_decode_applicable.
     """
     try:
         backend = jax.default_backend()
@@ -973,15 +974,15 @@ def _pallas_encode_applicable(table) -> bool:
     return (backend == "tpu"
             and int(table.num_rows) == 1
             and not bool(table.any_overflow)
-            and int(table.host.precision[0]) <= 15)
+            and int(table.host.precision[0]) <= 16)
 
 
 def _pallas_encode_indexed_applicable(table) -> bool:
     """True when the indexed Pallas encode kernel serves this table.
 
-    Any row-per-element table with per-row precision <= 15 (16-bit pair
-    packing); outsized tables fall back (per-part gather cost grows with
-    table size).  The DATA must be escape-free (every symbol in range, or
+    Any row-per-element table with per-row precision <= 16 (pairs pack
+    cdf[v] and cdf[v+1]-1 in 16 bits each); outsized tables fall back
+    (per-part gather cost grows with table size).  The DATA must be escape-free (every symbol in range, or
     escapes pre-mapped in sidecar mode) — callers guarantee this via the
     slots==1 micro-op budget.  Requires a real TPU backend (Mosaic).
     """
@@ -991,7 +992,7 @@ def _pallas_encode_indexed_applicable(table) -> bool:
         return False
     if backend != "tpu":
         return False
-    if int(table.host.precision.max()) > 15:
+    if int(table.host.precision.max()) > 16:
         return False
     total_pairs = int(np.sum(table.host.length - 1))
     return total_pairs <= 16384 and int(table.num_rows) <= 4096

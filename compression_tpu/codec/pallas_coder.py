@@ -1311,7 +1311,7 @@ def _make_encode_kernel_v3(num_steps, precision, nb, sub,
                 pair = jnp.where(r == j, w[j], pair)
             pair_u = pair.astype(jnp.uint32)
             c_lo = pair_u >> 16
-            c_hi = pair_u & 0xFFFF
+            c_hi = (pair_u & 0xFFFF) + 1  # stored as cdf[v+1]-1 (16 bits)
 
             # RangeEncoder::Encode, exactly as jax_coder._encode_step
             # (delayed-carry "state 1" via delay/pend bookkeeping).
@@ -1416,11 +1416,14 @@ def encode_single_row_device(symbols, cdf_row, precision, out_size, sub=8):
     num_streams, n = symbols.shape
     if num_streams % (sub * 128):
         raise ValueError(f"num_streams {num_streams} % {sub * 128} != 0")
-    if int(precision) > 15:
-        raise ValueError("packed-pair kernel requires precision <= 15")
+    if int(precision) > 16:
+        raise ValueError("packed-pair kernel requires precision <= 16")
     cdf_row = np.asarray(cdf_row, np.int64)
     max_sym = len(cdf_row) - 2
-    pairs = (cdf_row[:-1] << 16) | cdf_row[1:]  # pairs[v] for v=0..max_sym
+    # pairs[v] = cdf[v] << 16 | (cdf[v+1] - 1): both halves fit 16 bits
+    # even at precision 16 (cdf[v] <= 2^p - 1, cdf[v+1] - 1 <= 2^p - 1,
+    # CDFs are strictly increasing so cdf[v+1] >= 1).
+    pairs = (cdf_row[:-1] << 16) | (cdf_row[1:] - 1)
     nb = max(-(-len(pairs) // 16), 1)
     pairs = np.concatenate(
         [pairs, np.full(nb * 16 - len(pairs), pairs[-1], np.int64)])
@@ -1548,7 +1551,7 @@ def _make_encode_kernel_indexed(num_steps, parts_p, parts_r, sub,
                 jnp.minimum(v, maxs))
             pair_u = gather_pairs(base_r + vq).astype(jnp.uint32)
             c_lo = pair_u >> 16
-            c_hi = pair_u & 0xFFFF
+            c_hi = (pair_u & 0xFFFF) + 1  # stored as cdf[v+1]-1 (16 bits)
 
             # RangeEncoder::Encode with per-element precision.
             a = mul_shift_v(sm1, c_lo, prec)
@@ -1645,7 +1648,7 @@ def _encode_indexed_tables(cdf, length, precision, overflow):
     for r in range(num_rows):
         n = int(length[r])
         cdfr = np.asarray(cdf[r][:n], np.int64)
-        pairs.append((cdfr[:-1] << 16) | cdfr[1:])
+        pairs.append((cdfr[:-1] << 16) | (cdfr[1:] - 1))
     row_base = np.concatenate(
         [[0], np.cumsum([len(x) for x in pairs])[:-1]]).astype(np.int64)
     flat = np.concatenate(pairs) if pairs else np.zeros(1, np.int64)

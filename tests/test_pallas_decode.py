@@ -327,3 +327,40 @@ def test_encode_indexed_kernel_sidecar_escapes(interpret_pallas):
         out_size, sub=4)
     np.testing.assert_array_equal(np.asarray(len0), np.asarray(len1))
     np.testing.assert_array_equal(np.asarray(buf0), np.asarray(buf1))
+
+
+def test_encode_v3_kernel_precision16(interpret_pallas):
+    """Precision-16 rows work in the fused encoder (cdf[v+1]-1 packing)."""
+    S, N = 512, 20
+    pmf = 1.0 / (1 + np.arange(24)) ** 1.2
+    pmf /= pmf.sum()
+    cdf = tables.pmf_to_quantized_cdf(pmf, 16)
+    t = tables.parse_ragged_cdf(
+        tables.build_ragged_cdf([cdf], [16], [False]))
+    rng = np.random.RandomState(13)
+    sym = rng.choice(24, size=(S, N), p=pmf).astype(np.int32)
+    buf0, len0 = jax_coder.encode_streams(sym, t)
+    out_size = buf0.shape[1]
+    cdf_row = np.asarray(t.cdf[0][: int(t.length[0])])
+    buf1, len1 = pallas_coder.encode_single_row_device(
+        jnp.asarray(sym), cdf_row, 16, out_size, sub=4)
+    np.testing.assert_array_equal(np.asarray(len0), np.asarray(len1))
+    np.testing.assert_array_equal(np.asarray(buf0), np.asarray(buf1))
+
+
+def test_encode_indexed_kernel_precision16(interpret_pallas):
+    """Mixed rows incl. precision 16 through the indexed fused encoder."""
+    rng = np.random.RandomState(14)
+    t = _mixed_table(rng, num_rows=4, prec_range=(14, 17))
+    S, N = 512, 12
+    len_np = np.asarray(t.length)
+    idx = rng.randint(0, 4, size=(S, N)).astype(np.int32)
+    sym = (rng.randint(0, 1000, size=(S, N)) % (len_np[idx] - 1)).astype(
+        np.int32)
+    buf0, len0 = jax_coder.encode_streams(sym, t, indexes=idx)
+    out_size = buf0.shape[1]
+    buf1, len1 = pallas_coder.encode_indexed_device(
+        jnp.asarray(sym), jnp.asarray(idx), jax_coder.DeviceCdfTable(t),
+        out_size, sub=4)
+    np.testing.assert_array_equal(np.asarray(len0), np.asarray(len1))
+    np.testing.assert_array_equal(np.asarray(buf0), np.asarray(buf1))
