@@ -58,35 +58,28 @@ def make_workload():
 
 
 def bench_tpu(table, symbols):
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    from compression_tpu.codec import jax_coder
+    from compression_tpu.codec import jax_coder, pallas_coder
 
     dev_table = jax_coder.DeviceCdfTable(table)
     num_steps = NUM_ELEMENTS
     out_size = 2 * num_steps + 4
 
     sym_d = jnp.asarray(symbols)
-    idx_d = None
+    cdf_row = np.asarray(table.cdf[0][: int(table.length[0])])
+    precision = int(table.precision[0])
 
-    def encode(sym, idx):
+    def encode(sym):
         # Production dispatch: fused Pallas kernel on TPU (single-row
         # no-overflow tables), micro-op XLA pipeline elsewhere.
         return jax_coder.encode_dispatch(sym, dev_table, num_steps, out_size)
 
-    encode_j = jax.jit(encode)
-    buf, lengths = jax.block_until_ready(encode_j(sym_d, idx_d))
-
-    # Decode: lane-major Pallas kernel (single shared row, no overflow).
-    # Byte->chunk packing runs on device as part of the decode cost.
-    from compression_tpu.codec import pallas_coder
-
-    cdf_row = np.asarray(table.cdf[0][: int(table.length[0])])
-    precision = int(table.precision[0])
-
-    @jax.jit
     def decode(buf, lengths):
+        # Byte->chunk packing runs on device as part of the decode cost.
         if buf.shape[1] % 2:
             buf = jnp.pad(buf, ((0, 0), (0, 1)))
         src16 = ((buf[:, 0::2].astype(jnp.uint32) << 8)
@@ -94,30 +87,55 @@ def bench_tpu(table, symbols):
         return pallas_coder.decode_scan_pallas_v2(
             src16, lengths, NUM_ELEMENTS, cdf_row, precision, sub=16)
 
-    decode_j = decode
+    # Correctness: full round-trip, bytes fetched to host.
+    buf, lengths = jax.jit(encode)(sym_d)
     # Trim the byte buffer to the longest actual stream (even width): the
     # decoder loads the chunk buffers whole into VMEM.
     max_len = int(np.asarray(lengths).max())
     width = min(buf.shape[1], max_len + (max_len % 2))
-    buf = buf[:, :width]
-    out = jax.block_until_ready(decode_j(buf, lengths))
+    buf = jnp.asarray(np.asarray(buf[:, :width]))
+    lengths = jnp.asarray(np.asarray(lengths))
+    out = jax.jit(decode)(buf, lengths)
     assert np.array_equal(np.asarray(out[0]), symbols), "decode mismatch!"
 
+    # Timing is DEVICE-SIDE: run the computation k times inside one jitted
+    # program (iterations chained by a no-op data dependency so nothing is
+    # hoisted or dead-code-eliminated) and difference two k values.  Host
+    # wall-clock around individual dispatches is meaningless through the
+    # remote-TPU tunnel (~tens of ms per-call latency, lazy dispatch, and
+    # block_until_ready returning early have all been observed).
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def enc_k(sym, k):
+        def body(i, acc):
+            s = sym + (acc[:1, :1] & 0)
+            b, ln = encode(s)
+            return acc + ln[:1, None] + b[:1, :1].astype(jnp.int32)
+        return jax.lax.fori_loop(0, k, body,
+                                 jnp.zeros((1, 1), jnp.int32))[0, 0]
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def dec_k(b, lens, k):
+        def body(i, acc):
+            bi = b + (acc[:1, :1].astype(jnp.uint8) & 0)
+            sym, san = decode(bi, lens)
+            return acc + sym[:1, :1] + san[:1].astype(jnp.int32)
+        return jax.lax.fori_loop(0, k, body,
+                                 jnp.zeros((1, 1), jnp.int32))[0, 0]
+
+    def fetch_time(fn, *args):
+        np.asarray(fn(*args))  # warm the compile
+        t0 = time.perf_counter()
+        np.asarray(fn(*args))
+        return time.perf_counter() - t0
+
+    k_lo, k_hi = 1, 9
+    t_enc = (fetch_time(enc_k, sym_d, k_hi)
+             - fetch_time(enc_k, sym_d, k_lo)) / (k_hi - k_lo)
+    t_dec = (fetch_time(dec_k, buf, lengths, k_hi)
+             - fetch_time(dec_k, buf, lengths, k_lo)) / (k_hi - k_lo)
+
     n_symbols = NUM_STREAMS * NUM_ELEMENTS
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        full_buf, lengths = encode_j(sym_d, idx_d)
-    jax.block_until_ready((full_buf, lengths))
-    t_enc = (time.perf_counter() - t0) / reps
-
-    buf = full_buf[:, :width]
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = decode_j(buf, lengths)
-    jax.block_until_ready(out)
-    t_dec = (time.perf_counter() - t0) / reps
-
     # Combined encode+decode throughput (symbols pass through both).
     return n_symbols / (t_enc + t_dec), t_enc, t_dec
 

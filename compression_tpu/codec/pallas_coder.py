@@ -1258,21 +1258,21 @@ def _kernel_chunk_postpass(rec_ref, out_ref, num_steps, sub):
         jax.lax.fori_loop(0, num_steps, shift_step, 0)
 
 
-def _make_encode_kernel_v3(num_steps, precision, nb, sub,
+def _make_encode_kernel_v3(num_steps, precision, parts_p, sub,
                            fused_postpass=False):
     """Builds the fused encode kernel for one shared CDF row.
 
     Static parameters:
       num_steps: symbols per stream.
-      precision: range-coder precision of the row (<= 15).
-      nb: number of 16-wide packed-pair buckets.
+      precision: range-coder precision of the row (<= 16).
+      parts_p: 128-lane parts of the packed-pair table.
       sub: sublane tile height (streams per program = sub * 128).
       fused_postpass: resolve + compact records in-kernel; the first
         output then holds compacted 16-bit chunks instead of records.
     """
     shift_up = 32 - precision
 
-    def kernel(vq_ref, win_ref, out_ref, state_ref, *scratch):
+    def kernel(vq_ref, pairs_ref, out_ref, state_ref, *scratch):
         rec_ref = scratch[0] if fused_postpass else out_ref
         def mul_size(sm1, v):
             h = sm1 >> 16
@@ -1290,25 +1290,24 @@ def _make_encode_kernel_v3(num_steps, precision, nb, sub,
             hi, lo = mul_size(sm1, v)
             return (hi << shift_up) | (lo >> precision)
 
+        def rep(row):  # (128,) -> (sub, 128)
+            return jnp.broadcast_to(row[None, :], (sub, 128))
+
         def step(t, carry):
             base, sm1, delay, ptr, pend_start = carry
             vq = vq_ref[t]  # (sub, 128) int32, pre-clipped
 
-            # Packed-pair lookup: pull the lane's 16-wide bucket window
-            # from SMEM with scalar-broadcast selects (statically
-            # unrolled), then a 16-way fine select.  ~nb*16 + 16 vops.
-            b = vq >> 4
-            r = vq & 15
-            w = [None] * 16
-            for bb in range(nb):
-                m = b == bb
-                for j in range(16):
-                    v = win_ref[0, 16 * bb + j]
-                    w[j] = jnp.where(m, v, 0) if bb == 0 else (
-                        jnp.where(m, v, w[j]))
-            pair = w[0]
-            for j in range(1, 16):
-                pair = jnp.where(r == j, w[j], pair)
+            # Packed-pair lookup: one per-lane gather into the 128-lane
+            # parts of the pair table (symbol is known at encode — no
+            # search).  ~3*parts_p vops, vs ~alphabet+16 for the
+            # select-accumulate form this replaces (measured ~2x faster
+            # end-to-end at alphabet 256).
+            lane = vq & 127
+            pix = vq >> 7
+            pair = jnp.take_along_axis(rep(pairs_ref[0]), lane, axis=1)
+            for p in range(1, parts_p):
+                cand = jnp.take_along_axis(rep(pairs_ref[p]), lane, axis=1)
+                pair = jnp.where(pix == p, cand, pair)
             pair_u = pair.astype(jnp.uint32)
             c_lo = pair_u >> 16
             c_hi = (pair_u & 0xFFFF) + 1  # stored as cdf[v+1]-1 (16 bits)
@@ -1368,13 +1367,13 @@ def _make_encode_kernel_v3(num_steps, precision, nb, sub,
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _encode_v3_call(vq_t, win, precision, sub, fused=False):
-    """vq_t: int32 [N, NSUB, 128]; win: int32 [1, nb*16] packed pairs."""
+def _encode_v3_call(vq_t, pairs, precision, sub, fused=False):
+    """vq_t: int32 [N, NSUB, 128]; pairs: int32 [parts_p, 128]."""
     num_steps, nsub, _ = vq_t.shape
-    nb = win.shape[1] // 16
+    parts_p = pairs.shape[0]
     grid = (nsub // sub,)
     kernel = _make_encode_kernel_v3(
-        num_steps, precision, nb, sub, fused_postpass=fused)
+        num_steps, precision, parts_p, sub, fused_postpass=fused)
     io = lambda: pl.BlockSpec((num_steps, sub, 128), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)
     rec, state = pl.pallas_call(
@@ -1382,8 +1381,8 @@ def _encode_v3_call(vq_t, win, precision, sub, fused=False):
         grid=grid,
         in_specs=[
             io(),
-            pl.BlockSpec((1, win.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((parts_p, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[io(),
                    pl.BlockSpec((5, sub, 128), lambda i: (0, i, 0),
@@ -1393,7 +1392,7 @@ def _encode_v3_call(vq_t, win, precision, sub, fused=False):
         scratch_shapes=(
             [pltpu.VMEM((num_steps, sub, 128), jnp.int32)] if fused
             else []),
-    )(vq_t, win)
+    )(vq_t, pairs)
     return rec, state
 
 
@@ -1422,12 +1421,13 @@ def encode_single_row_device(symbols, cdf_row, precision, out_size, sub=8):
     max_sym = len(cdf_row) - 2
     # pairs[v] = cdf[v] << 16 | (cdf[v+1] - 1): both halves fit 16 bits
     # even at precision 16 (cdf[v] <= 2^p - 1, cdf[v+1] - 1 <= 2^p - 1,
-    # CDFs are strictly increasing so cdf[v+1] >= 1).
+    # CDFs are strictly increasing so cdf[v+1] >= 1).  Laid out as
+    # 128-lane parts for the in-kernel per-lane gather.
     pairs = (cdf_row[:-1] << 16) | (cdf_row[1:] - 1)
-    nb = max(-(-len(pairs) // 16), 1)
+    parts_p = max(-(-len(pairs) // 128), 1)
     pairs = np.concatenate(
-        [pairs, np.full(nb * 16 - len(pairs), pairs[-1], np.int64)])
-    win = pairs.astype(np.uint32).view(np.int32).reshape(1, -1)
+        [pairs, np.full(parts_p * 128 - len(pairs), pairs[-1], np.int64)])
+    win = pairs.astype(np.uint32).view(np.int32).reshape(parts_p, 128)
 
     nsub = num_streams // 128
     vq = jnp.clip(jnp.asarray(symbols, jnp.int32), 0, max_sym)
