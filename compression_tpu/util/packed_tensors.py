@@ -153,12 +153,19 @@ class PackedTensors:
     def string(self) -> bytes:
         """Serialized Example, byte-identical to TF's serializer."""
         entries = []
-        # Protobuf map serialization order is unspecified (the TF runtime
-        # uses hash-bucket order, nondeterministic across keys), so there is
-        # no canonical byte sequence to match; we emit key-sorted entries,
-        # protobuf's own `deterministic=True` convention.  Any protobuf
-        # parser (including the reference's) accepts either order.
-        for key in sorted(self._features):
+        # Protobuf map serialization order is unspecified by the wire
+        # format, and TF's upb runtime observably emits hash-table order
+        # (e.g. MD, \x03, \x01, \x02 — see golden_model.npz), which is
+        # runtime-version-dependent.  Whole-container byte identity with
+        # TF is therefore not a stable contract; the interop contract is
+        # parse-level (feature values byte-identical), which is what the
+        # golden tests pin.  We emit a deterministic order: "MD" first,
+        # then ascending keys.
+        keys = sorted(self._features)
+        if "MD" in self._features:
+            keys.remove("MD")
+            keys.insert(0, "MD")
+        for key in keys:
             kind, values = self._features[key]
             if kind == "bytes":
                 feature = _encode_bytes_list(values)

@@ -98,3 +98,28 @@ def load():
         continuous_indexed=continuous_indexed, universal=universal,
         packed_tensors=packed_tensors)
     return ns
+
+
+def load_layers(ns=None):
+    """Additionally imports the reference Keras layers (GDN, SignalConv,
+    parameters, initializers) from the mount.  They build and run under
+    the in-image Keras 3 (verified); only their variables are reached
+    through the Parameter objects rather than Keras tracking."""
+    if ns is None:
+        ns = load()
+    base = os.path.join(_REF, "tensorflow_compression")
+    name = "tensorflow_compression.python.layers"
+    if name not in sys.modules:
+        m = types.ModuleType(name)
+        m.__path__ = [os.path.join(base, "python", "layers")]
+        m.__package__ = name
+        sys.modules[name] = m
+    import tensorflow_compression.python.layers.parameters as parameters  # noqa
+    import tensorflow_compression.python.layers.initializers as initializers  # noqa
+    import tensorflow_compression.python.layers.gdn as gdn  # noqa
+    import tensorflow_compression.python.layers.signal_conv as signal_conv  # noqa
+    ns.parameters = parameters
+    ns.initializers = initializers
+    ns.gdn = gdn
+    ns.signal_conv = signal_conv
+    return ns

@@ -1,0 +1,108 @@
+"""Model-level cross-implementation parity vs a briefly-TRAINED reference
+bls2017 (fixture from tests/golden/make_golden_model.py).
+
+The fixture holds reference-trained weights (reference SignalConv/GDN/
+DeepFactorized classes, trained in TF with the reference loss), the
+reference latents, range-coding tables, compressed strings, the full
+.tfci container, and the reference reconstruction.  These tests port the
+weights with tools/port_tf_weights.py and assert the interop contract:
+
+  * ported analysis transform reproduces the reference latents,
+  * range-coding tables are exactly equal,
+  * compress() emits byte-identical strings from the same image,
+  * the REFERENCE .tfci container decodes here to the exact reference
+    uint8 reconstruction (the north-star decode contract),
+  * container contents are parse-level identical (protobuf map entry
+    ORDER is unspecified/hash-dependent in TF's runtime, so whole-file
+    byte identity is not a stable contract; see util/packed_tensors.py).
+
+Reference spec: models/bls2017.py:55-92 (transforms), :226-265
+(compress/decompress graphs), :280-284 (container).
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from compression_tpu.models.bls2017 import BLS2017Model, BLS2017Codec
+from compression_tpu.util.packed_tensors import PackedTensors
+
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from tools.port_tf_weights import port_bls2017  # noqa: E402
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "golden", "golden_model.npz")
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(FIXTURE), reason="golden_model.npz not generated")
+
+
+@pytest.fixture(scope="module")
+def gold():
+    return dict(np.load(FIXTURE))
+
+
+@pytest.fixture(scope="module")
+def codec(gold):
+    tf_vars = {k[len("var__"):].replace("__", "/"): v
+               for k, v in gold.items() if k.startswith("var__")}
+    params = port_bls2017(tf_vars)
+    model = BLS2017Model(num_filters=int(gold["num_filters"]))
+    return BLS2017Codec(model, params)
+
+
+def ref_strings(gold):
+    nb = gold["strings_nbytes"]
+    buf = gold["strings_bytes"].tobytes()
+    out, off = [], 0
+    for n in nb:
+        out.append(buf[off:off + int(n)])
+        off += int(n)
+    return out
+
+
+def test_latents_match(gold, codec):
+    x = jnp.asarray(gold["x_test"], jnp.float32)[None]
+    y = np.asarray(codec.model.apply(
+        codec.params, x, method=BLS2017Model.encode))
+    np.testing.assert_allclose(y, gold["y"], atol=5e-5)
+
+
+def test_tables_exact(gold, codec):
+    assert np.array_equal(np.asarray(codec.em.cdf), gold["cdf"])
+    assert np.array_equal(
+        np.asarray(codec.em.cdf_offset), gold["cdf_offset"])
+    np.testing.assert_allclose(
+        np.asarray(codec.em.quantization_offset), gold["qoffset"],
+        atol=1e-5)
+
+
+def test_compress_strings_byte_identical(gold, codec):
+    container = codec.compress(gold["x_test"])
+    packed = PackedTensors(container)
+    assert packed.model == "bls2017"
+    strings, x_shape, y_shape = packed.unpack(["bytes", np.int32, np.int32])
+    assert strings == ref_strings(gold)
+    # Parse-level equality with the reference container.
+    ref = PackedTensors(gold["container"].tobytes())
+    rs, rx, ry = ref.unpack(["bytes", np.int32, np.int32])
+    assert ref.model == packed.model
+    assert strings == rs
+    assert np.array_equal(x_shape, rx) and np.array_equal(y_shape, ry)
+
+
+def test_decode_reference_container(gold, codec):
+    """The north star: a container produced by the reference TF stack
+    decodes here to the reference's exact uint8 reconstruction."""
+    x_hat = codec.decompress(gold["container"].tobytes())
+    assert np.array_equal(x_hat, gold["x_hat_uint8"])
+
+
+def test_native_container_same_reconstruction(gold, codec):
+    """The TPU-native multi-stream container reproduces the same image
+    from the same ported weights (format differs; reconstruction not)."""
+    native = codec.compress_native(gold["x_test"])
+    x_hat = codec.decompress(native)
+    assert np.array_equal(x_hat, gold["x_hat_uint8"])
