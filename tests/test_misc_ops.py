@@ -5,6 +5,7 @@ import tempfile
 
 import jax
 import numpy as np
+import pytest
 
 from compression_tpu.datasets.y4m import Y4MDataset, y4m_frames
 from compression_tpu.ops.quantization import stochastic_round
@@ -90,3 +91,43 @@ class TestY4M:
                 assert False, "expected ValueError"
             except ValueError:
                 pass
+
+
+class TestStochasticRoundReference:
+    """Bit-exact xoshiro256+ parity with the reference CPU kernel
+    (fixtures from tests/golden/make_golden_quant.py; reference
+    cc/kernels/quantization_kernels.cc:35-95)."""
+
+    FIXTURE = os.path.join(
+        os.path.dirname(__file__), "golden", "golden_quant.npz")
+
+    @pytest.mark.skipif(not os.path.exists(FIXTURE),
+                        reason="golden_quant.npz not generated")
+    def test_golden_cases(self):
+        import jax.numpy as jnp
+        from compression_tpu.ops.quantization import (
+            stochastic_round_reference)
+        gold = dict(np.load(self.FIXTURE))
+        for name in [n.decode() for n in gold["cases"]]:
+            x = gold[f"{name}__x"]
+            dt = bytes(gold[f"{name}__dtype"]).decode()
+            if dt == "bf16":
+                x = jnp.asarray(x, jnp.bfloat16)
+            elif dt == "f16":
+                x = x.astype(np.float16)
+            out = stochastic_round_reference(
+                x, float(gold[f"{name}__step"]), gold[f"{name}__seed"])
+            assert np.array_equal(out, gold[f"{name}__out"]), name
+
+    def test_empty_seed_rejected(self):
+        from compression_tpu.ops.quantization import (
+            stochastic_round_reference)
+        with pytest.raises(ValueError):
+            stochastic_round_reference(np.ones(4, np.float32), 1.0, [])
+
+    def test_distribution_matches_fraction(self):
+        from compression_tpu.ops.quantization import (
+            stochastic_round_reference)
+        x = np.full(4096, 0.25, np.float32)
+        out = stochastic_round_reference(x, 1.0, [42])
+        assert abs(out.mean() - 0.25) < 0.03
