@@ -234,6 +234,19 @@ class BLS2017Codec:
                      esc_val.astype(np.int32)])
         return packed.string
 
+    def reconstruct(self, x) -> np.ndarray:
+        """Eval-mode reconstruction WITHOUT the range coder: quantize the
+        latents with the codec's own entropy model and synthesize.  The
+        reference round-trip contract is decompress(compress(x)) ==
+        reconstruct(x) exactly (continuous_batched_test.py:103-110 lifted
+        to model level)."""
+        x = jnp.asarray(x, jnp.float32)[None]
+        y = self._analysis(self.params, x)
+        y_hat = self.em.quantize(y)
+        x_hat = self._synthesis(self.params, y_hat)
+        x_hat = np.asarray(x_hat)[0, : x.shape[1], : x.shape[2], :]
+        return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
+
     def decompress(self, container: bytes) -> np.ndarray:
         packed = PackedTensors(container)
         assert packed.model == self.MODEL_ID

@@ -280,6 +280,19 @@ class BMSHJ2018Codec:
         ])
         return packed.string
 
+    def reconstruct(self, x) -> np.ndarray:
+        """Eval-mode reconstruction WITHOUT the range coder (quantized
+        hyper-latent -> indexes -> quantized latent -> synthesis); the
+        round-trip contract is decompress(compress(x)) == reconstruct(x)."""
+        x = jnp.asarray(x, jnp.float32)[None]
+        y, _ = self._encode(self.params, x)
+        # Quantization is index-independent for the location-scale EM
+        # (loc=None in this codec), so the hyper branch drops out here.
+        y_hat = self.em.quantize(y)
+        x_hat = self._decode(self.params, y_hat)
+        x_hat = np.asarray(x_hat)[0, : x.shape[1], : x.shape[2], :]
+        return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
+
     def decompress(self, container: bytes) -> np.ndarray:
         from compression_tpu.codec import jax_coder
 

@@ -581,6 +581,35 @@ class MS2020Codec:
 
         return jax.jit(decode_all)
 
+    def reconstruct(self, x) -> np.ndarray:
+        """Eval-mode reconstruction WITHOUT the range coder: quantized
+        hyper-latent drives the slice-AR loop with em_y.quantize instead
+        of compress/decompress.  decompress(compress(x)) must equal this
+        exactly (the reference round-trip contract at model level)."""
+        x = jnp.asarray(x, jnp.float32)[None]
+        y, z = self._encode(self.params, x)
+        y_shape = y.shape[1:-1]
+        z_hat = self.em_z.quantize(z)
+        latent_scales, latent_means = self._hyper_decode(self.params, z_hat)
+
+        y_slices = jnp.split(y, self.model.num_slices, axis=-1)
+        y_hat_slices = []
+        for i, y_slice in enumerate(y_slices):
+            support = (y_hat_slices if self.model.max_support_slices < 0
+                       else y_hat_slices[: self.model.max_support_slices])
+            mu, _, mean_support = self._slice_params(
+                self.params, i, latent_means, latent_scales, tuple(support),
+                tuple(int(s) for s in y_shape))
+            y_hat_slice = self.em_y.quantize(y_slice, loc=mu)
+            y_hat_slice = y_hat_slice + self._lrp(
+                self.params, i, mean_support, y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        x_hat = self._decode(self.params, y_hat)
+        x_hat = np.asarray(x_hat)[0, : x.shape[1], : x.shape[2], :]
+        return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
+
     def decompress(self, container: bytes) -> np.ndarray:
         packed = PackedTensors(container)
         assert packed.model == self.MODEL_ID

@@ -126,3 +126,20 @@ def test_native_container_matches_classic():
     strings = packed.unpack(["bytes", np.int32, np.int32, np.int32,
                              np.int32])[0]
     assert len(strings) == 96 // 16
+
+
+def test_roundtrip_equals_reconstruction():
+    """decompress(compress(x)) must equal the range-coder-free eval
+    reconstruction (reference property, continuous_batched_test.py:103-110
+    lifted to model level) — for both container formats."""
+    model = small_model()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), training=False)
+    codec = bls2017.BLS2017Codec(model, params)
+    x8 = np.random.RandomState(11).randint(
+        0, 256, (48, 48, 3)).astype(np.uint8)
+    expected = codec.reconstruct(x8)
+    np.testing.assert_array_equal(
+        codec.decompress(codec.compress(x8)), expected)
+    np.testing.assert_array_equal(
+        codec.decompress(codec.compress_native(x8)), expected)

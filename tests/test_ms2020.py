@@ -130,3 +130,20 @@ def test_native_container_matches_classic():
     native = codec.compress_native(x8)
     np.testing.assert_array_equal(
         codec.decompress(native), codec.decompress(classic))
+
+
+def test_roundtrip_equals_reconstruction():
+    """decompress(compress(x)) == range-coder-free eval reconstruction:
+    the slice-AR decode (incl. LRP corrections) must reproduce the
+    quantize-path reconstruction exactly, not merely be self-consistent."""
+    model = tiny_model()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=False)
+    codec = ms2020.MS2020Codec(model, params)
+    x8 = np.random.RandomState(13).randint(
+        0, 256, (64, 64, 3)).astype(np.uint8)
+    expected = codec.reconstruct(x8)
+    np.testing.assert_array_equal(
+        codec.decompress(codec.compress(x8)), expected)
+    np.testing.assert_array_equal(
+        codec.decompress(codec.compress_native(x8)), expected)
