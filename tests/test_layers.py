@@ -261,3 +261,148 @@ class TestGDNParameter:
         var = jnp.asarray([-5.0, 0.0, 1.0])
         value = parameters.gdn_param_value(var, minimum=1e-6)
         assert np.all(np.asarray(value) >= 1e-6 - 1e-9)
+
+
+def np_identity_kernel(support, channels=1):
+    """Reference IdentityInitializer: 1 at support//2 per dim (initializers.py:25-55)."""
+    k = np.zeros(tuple(support) + (channels, channels), np.float32)
+    center = tuple(s // 2 for s in support)
+    for c in range(channels):
+        k[center + (c, c)] = 1.0
+    return k
+
+
+class TestSignalConvReferenceMatrix:
+    """Ports the reference signal_conv_test.py:168-737 coverage: rational
+    resampling, 3-D, same_zeros/same_reflect identity alignment, and the
+    channel_separable output ordering."""
+
+    @pytest.mark.parametrize(
+        "corr,s_down,s_up,extra,k",
+        [(corr, sd, su, extra, k)
+         for corr in [True, False]
+         for sd, su, extra in [(2, 3, True), (3, 2, True), (2, 2, False),
+                               (5, 3, True), (2, 3, False)]
+         for k in [1, 2, 3, 7]],
+    )
+    def test_1d_valid_rational_resampling(self, corr, s_down, s_up, extra, k):
+        rng = np.random.RandomState(k + s_down * 10 + s_up)
+        x = rng.randint(0, 32, 13).astype(np.float32)
+        kernel = rng.randint(0, 16, k).astype(np.float32)
+        expected = np_signal_conv(
+            x, kernel, corr, (s_up,), (s_down,), "valid", extra)
+        got = signal_conv(
+            jnp.asarray(x)[None, :, None],
+            jnp.asarray(kernel)[:, None, None],
+            corr=corr, strides_down=s_down, strides_up=s_up,
+            padding="valid", extra_pad_end=extra)
+        got = np.asarray(got)[0, :, 0]
+        assert got.shape == expected.shape
+        np.testing.assert_allclose(got, expected, rtol=0, atol=1e-3)
+
+    @pytest.mark.parametrize(
+        "corr,s_down,s_up,ks",
+        [(corr, sd, su, ks)
+         for corr in [True, False]
+         for sd, su in [((3, 5), (1, 1)), ((1, 1), (4, 3)), ((2, 2), (3, 2))]
+         for ks in [(5, 2), (2, 3), (3, 3)]],
+    )
+    def test_2d_valid_anisotropic(self, corr, s_down, s_up, ks):
+        rng = np.random.RandomState(sum(ks) + s_down[0])
+        x = rng.randint(0, 32, (10, 9)).astype(np.float32)
+        kernel = rng.randint(0, 16, ks).astype(np.float32)
+        expected = np_signal_conv(
+            x, kernel, corr, s_up, s_down, "valid", True)
+        got = signal_conv(
+            jnp.asarray(x)[None, :, :, None],
+            jnp.asarray(kernel)[:, :, None, None],
+            corr=corr, strides_down=s_down, strides_up=s_up,
+            padding="valid", extra_pad_end=True)
+        got = np.asarray(got)[0, :, :, 0]
+        assert got.shape == expected.shape
+        np.testing.assert_allclose(got, expected, rtol=0, atol=1e-3)
+
+    @pytest.mark.parametrize(
+        "corr,s_down,s_up",
+        [(corr, sd, su)
+         for corr in [True, False]
+         for sd, su in [((1, 1, 1), (1, 1, 1)), ((2, 1, 2), (1, 1, 1)),
+                        ((1, 1, 1), (2, 2, 1))]],
+    )
+    def test_3d_valid(self, corr, s_down, s_up):
+        rng = np.random.RandomState(7)
+        x = rng.randint(0, 32, (6, 5, 7)).astype(np.float32)
+        kernel = rng.randint(0, 16, (3, 2, 3)).astype(np.float32)
+        expected = np_signal_conv(
+            x, kernel, corr, s_up, s_down, "valid", True)
+        got = signal_conv(
+            jnp.asarray(x)[None, :, :, :, None],
+            jnp.asarray(kernel)[:, :, :, None, None],
+            corr=corr, strides_down=s_down, strides_up=s_up,
+            padding="valid", extra_pad_end=True)
+        got = np.asarray(got)[0, :, :, :, 0]
+        assert got.shape == expected.shape
+        np.testing.assert_allclose(got, expected, rtol=0, atol=1e-3)
+
+    @pytest.mark.parametrize(
+        "rank,padding,corr,s_down,s_up,extra,k",
+        [(rank, padding, corr, sd, su, extra, k)
+         for rank in [1, 2]
+         for padding in ["same_zeros", "same_reflect"]
+         for corr in [True, False]
+         for sd, su, extra in [(1, 1, True), (1, 2, False), (1, 3, True),
+                               (2, 1, True), (5, 1, True), (2, 3, True)]
+         for k in [1, 2, 3, 7]],
+    )
+    def test_same_identity_alignment(self, rank, padding, corr, s_down,
+                                     s_up, extra, k):
+        """Identity kernel => output equals the up/downsampled input
+        (the reference's run_same strategy, signal_conv_test.py:268-314),
+        pinning the centered-padding alignment for every mode."""
+        n = 12 if rank == 1 else (8, 9)
+        shape = (n,) if rank == 1 else n
+        x = np.arange(np.prod(shape), dtype=np.float32).reshape(shape) + 1
+        support = (k,) * rank
+        kernel = np_identity_kernel(support)
+        up = np_upsample(x, (s_up,) * rank, extra)
+        idx = tuple(slice(None, None, s_down) for _ in range(rank))
+        expected = up[idx]
+        got = signal_conv(
+            jnp.asarray(x)[None, ..., None],
+            jnp.asarray(kernel),
+            corr=corr, strides_down=s_down, strides_up=s_up,
+            padding=padding, extra_pad_end=extra)
+        got = np.asarray(got)[0, ..., 0]
+        assert got.shape == expected.shape, (got.shape, expected.shape)
+        np.testing.assert_allclose(got, expected, rtol=0, atol=1e-3)
+
+    @pytest.mark.parametrize("rank", [1, 2])
+    @pytest.mark.parametrize("filters", [1, 2])
+    @pytest.mark.parametrize("s_up", [1, 2])
+    def test_channel_separable_ordering(self, rank, filters, s_up):
+        """channel_separable output ordering is channel_in*filters +
+        filter_out (reference signal_conv_test.py:196-216)."""
+        rng = np.random.RandomState(rank * 10 + filters + s_up)
+        channels = 2
+        shape = (9,) if rank == 1 else (7, 6)
+        x = rng.randint(0, 32, (1,) + shape + (channels,)).astype(np.float32)
+        support = (3,) * rank
+        kernel = rng.randint(
+            0, 16, support + (channels, filters)).astype(np.float32)
+        # Layer layout for channel_separable: [spatial..., 1, in*filters],
+        # input-channel-major (same as TF depthwise kernels).
+        kernel_flat = kernel.reshape(support + (1, channels * filters))
+        got = signal_conv(
+            jnp.asarray(x), jnp.asarray(kernel_flat), corr=True,
+            strides_up=s_up, padding="valid", extra_pad_end=True,
+            channel_separable=True)
+        got = np.asarray(got)
+        for ci in range(channels):
+            for fo in range(filters):
+                expected = np_signal_conv(
+                    x[0, ..., ci], kernel[..., ci, fo], True,
+                    (s_up,) * rank, (1,) * rank, "valid", True)
+                np.testing.assert_allclose(
+                    got[0, ..., ci * filters + fo], expected,
+                    rtol=0, atol=1e-3,
+                    err_msg=f"ci={ci} fo={fo}")
