@@ -140,6 +140,171 @@ def bench_tpu(table, symbols):
     return n_symbols / (t_enc + t_dec), t_enc, t_dec
 
 
+def gaussian_table():
+    """bmshj2018/ms2020 production regime: 64 NoisyNormal rows spanning
+    exp(linspace(log .11, log 256)) at precision 12 WITH overflow escapes
+    (reference continuous_indexed.py:431-633 table construction)."""
+    from math import erf, sqrt
+
+    from compression_tpu.codec import tables
+
+    log_min, log_max = np.log(0.11), np.log(256.0)
+    scales = np.exp(log_min + (log_max - log_min) * np.arange(64) / 63.0)
+    rows = []
+    for s in scales:
+        half = int(min(np.ceil(4 * s) + 2, 192))
+        x = np.arange(-half, half + 1)
+        hi = np.asarray(
+            [0.5 * (1 + erf((v + 0.5) / (s * sqrt(2)))) for v in x])
+        lo = np.asarray(
+            [0.5 * (1 + erf((v - 0.5) / (s * sqrt(2)))) for v in x])
+        pmf = np.maximum(hi - lo, 1e-12)
+        rows.append(pmf / pmf.sum() * (1 - 2 ** -8))
+    cdfs = [tables.pmf_to_quantized_cdf(np.asarray(p, np.float32), 12)
+            for p in rows]
+    ragged = tables.build_ragged_cdf(cdfs, [12] * 64, [True] * 64)
+    return tables.parse_ragged_cdf(ragged), scales
+
+
+def bench_indexed():
+    """Indexed-regime throughput: fused indexed encode, indexed Pallas
+    decode with in-stream gamma escapes, and sidecar-mode decode."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from compression_tpu.codec import host, jax_coder, stream
+
+    table, scales = gaussian_table()
+    dt = jax_coder.DeviceCdfTable(table)
+    S, N = 8192, 512
+    rng = np.random.RandomState(2)
+    idx = rng.randint(0, 64, (S, N)).astype(np.int32)
+    # Escape-free symbols (the fused encoder's contract; ~centered mass).
+    max_sym = table.length[idx] - 2
+    sym_free = np.minimum(
+        np.round(np.abs(rng.normal(0, 1, (S, N))) * scales[idx] * 0.25),
+        max_sym).astype(np.int32)
+    # Realistic escape rate (~tail_mass) for the in-stream decode.
+    sym_esc = sym_free.copy()
+    esc_mask = rng.rand(S, N) < 2.0 ** -8
+    sym_esc[esc_mask] = (max_sym[esc_mask]
+                         + rng.randint(1, 40, esc_mask.sum()))
+
+    n_symbols = S * N
+    out_size = 2 * N + 4
+
+    idx_d = jnp.asarray(idx)
+    symf_d = jnp.asarray(sym_free)
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def enc_k(sym, ix, k):
+        def body(i, acc):
+            s = sym + (acc[:1, :1] & 0)
+            b, ln = jax_coder.encode_dispatch(s, dt, N, out_size, indexes=ix)
+            return acc + ln[:1, None] + b[:1, :1].astype(jnp.int32)
+        return jax.lax.fori_loop(0, k, body,
+                                 jnp.zeros((1, 1), jnp.int32))[0, 0]
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def dec_k(src16, lens, ix, k):
+        def body(i, acc):
+            b = src16 + (acc[:1, :1].astype(jnp.uint32) & 0)
+            sym, san = jax_coder.decode_dispatch(b, lens, N, dt, indexes=ix)
+            return acc + sym[:1, :1] + san[:1].astype(jnp.int32)
+        return jax.lax.fori_loop(0, k, body,
+                                 jnp.zeros((1, 1), jnp.int32))[0, 0]
+
+    def timed(fn, *args, k_lo=1, k_hi=5):
+        np.asarray(fn(*args, k_hi))
+        t0 = time.perf_counter()
+        np.asarray(fn(*args, k_hi))
+        t_hi = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(fn(*args, k_lo))
+        t_lo = time.perf_counter() - t0
+        return (t_hi - t_lo) / (k_hi - k_lo)
+
+    out = {}
+
+    # Fused indexed encode (escape-free contract), correctness first.
+    buf, lens = jax.jit(
+        lambda s, ix: jax_coder.encode_dispatch(
+            s, dt, N, out_size, indexes=ix))(symf_d, idx_d)
+    oracle = stream.encode_streams(sym_free[:64], table, idx[:64])
+    assert jax_coder.to_bytes_list(
+        np.asarray(buf)[:64], np.asarray(lens)[:64]) == oracle, \
+        "indexed encode parity failure"
+    t = timed(enc_k, symf_d, idx_d)
+    out["indexed_encode_sym_per_s"] = round(n_symbols / t, 1)
+
+    # In-stream gamma decode (escape rate ~2^-8), bytes from the native
+    # host coder (bit-exact, threaded).
+    strings = (host.encode_streams(sym_esc, table, idx)
+               if host.available()
+               else stream.encode_streams(sym_esc, table, idx))
+    byte_buf, byte_lens = jax_coder.from_bytes_list(strings)
+    src16 = jnp.asarray(jax_coder.bytes_to_chunks(byte_buf, byte_lens))
+    lens_d = jnp.asarray(byte_lens)
+    sym_out, sanity = jax.jit(
+        lambda b, ln, ix: jax_coder.decode_dispatch(b, ln, N, dt, ix))(
+            src16, lens_d, idx_d)
+    assert np.array_equal(np.asarray(sym_out), sym_esc), \
+        "indexed decode parity failure"
+    assert np.asarray(sanity).all()
+    t = timed(dec_k, src16, lens_d, idx_d)
+    out["indexed_decode_instream_sym_per_s"] = round(n_symbols / t, 1)
+
+    # Sidecar mode decode (escapes out of band).
+    sbuf, slens, esc_pos, esc_val = jax_coder.encode_streams_sidecar(
+        sym_esc, table, idx)
+    s_src16 = jnp.asarray(jax_coder.bytes_to_chunks(sbuf, slens))
+    s_lens = jnp.asarray(np.asarray(slens, np.int32))
+
+    from compression_tpu.codec import pallas_coder
+    sub = jax_coder._indexed_kernel_sub(N, s_src16.shape[1])
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def dec_side_k(src, lens, ix, k):
+        def body(i, acc):
+            b = src + (acc[:1, :1].astype(jnp.uint32) & 0)
+            sym, san = pallas_coder.decode_indexed_pallas(
+                b, lens, ix, N, dt, sub=sub, in_stream_gamma=False)
+            return acc + sym[:1, :1] + san[:1].astype(jnp.int32)
+        return jax.lax.fori_loop(0, k, body,
+                                 jnp.zeros((1, 1), jnp.int32))[0, 0]
+
+    dec_s, san_s = jax_coder.decode_streams_sidecar(
+        sbuf, slens, N, table, esc_pos, esc_val, indexes=idx)
+    assert np.array_equal(dec_s, sym_esc) and san_s.all(), \
+        "sidecar decode parity failure"
+    t = timed(dec_side_k, s_src16, s_lens, idx_d)
+    out["indexed_decode_sidecar_sym_per_s"] = round(n_symbols / t, 1)
+    return out
+
+
+def _measure_host_socket(table, symbols):
+    """Socket-level host baseline: the native threaded coder on all
+    cores (the honest denominator next to the single-core reference)."""
+    from compression_tpu.codec import host
+
+    if not host.available():
+        return None
+    # Warm-up + measure encode and decode.
+    sub = symbols[:4096]
+    host.encode_streams(sub, table)
+    t0 = time.perf_counter()
+    strings = host.encode_streams(symbols, table)
+    t_enc = time.perf_counter() - t0
+    host.decode_streams(strings, symbols.shape[1], table)
+    t0 = time.perf_counter()
+    host.decode_streams(strings, symbols.shape[1], table)
+    t_dec = time.perf_counter() - t0
+    n = symbols.size
+    return n / (t_enc + t_dec)
+
+
 def _measure_baseline(cdf, symbols):
     """Measures the reference C++ coder single-thread on this machine."""
     tf_dir = None
@@ -219,9 +384,23 @@ def main():
     print(f"encode: {t_enc * 1e3:.2f} ms ({n / t_enc / 1e6:.0f} M sym/s)  "
           f"decode: {t_dec * 1e3:.2f} ms ({n / t_dec / 1e6:.0f} M sym/s)",
           file=sys.stderr)
+    try:
+        indexed = bench_indexed()
+    except Exception as e:  # noqa: BLE001 — secondary metric, keep going
+        print(f"indexed bench failed: {e}", file=sys.stderr)
+        indexed = {"indexed_bench_error": str(e)[:200]}
+    print(f"indexed: {indexed}", file=sys.stderr)
     baseline = _measure_baseline(cdf, symbols)
     if baseline is None:
         baseline = FALLBACK_BASELINE_SYMBOLS_PER_S
+    host_socket = _measure_host_socket(table, symbols)
+    extra = dict(indexed)
+    extra["host_baseline_single_core_sym_per_s"] = round(baseline, 1)
+    if host_socket is not None:
+        # Socket-level honest denominator: this repo's own native
+        # threaded coder on every core of this host.
+        extra["host_socket_all_cores_sym_per_s"] = round(host_socket, 1)
+        extra["vs_host_socket"] = round(value / host_socket, 4)
     print(json.dumps({
         "metric": "range coder encode+decode throughput, 1 chip "
                   f"({NUM_STREAMS} streams x {NUM_ELEMENTS} symbols, "
@@ -230,6 +409,7 @@ def main():
         "value": round(value, 1),
         "unit": "symbols/s",
         "vs_baseline": round(value / baseline, 4),
+        "extra": extra,
     }))
 
 

@@ -25,6 +25,22 @@ __all__ = [
 ]
 
 
+def _validate_cdf_rows(rows, precision, context):
+    """debug_level>=1 analog of the reference's CDF validation
+    (range_coding_kernels.cc:194-196): rows must start at 0, be
+    monotonically nondecreasing, and end at most at 2**precision."""
+    rows = np.asarray(rows)
+    if rows.shape[-1] < 2:
+        raise ValueError(f"{context}: CDF rows need at least 2 entries")
+    if (rows[..., 0] != 0).any():
+        raise ValueError(f"{context}: CDF rows must start at 0")
+    if (np.diff(rows, axis=-1) < 0).any():
+        raise ValueError(f"{context}: CDF rows must be nondecreasing")
+    if (rows[..., -1] > (1 << precision)).any():
+        raise ValueError(
+            f"{context}: CDF rows exceed 2**precision = {1 << precision}")
+
+
 def _broadcast_row_indexes(data_shape, cdf_shape):
     """Row-major flat row index of the broadcast CDF row per data element."""
     bshape = cdf_shape[:-1]
@@ -41,7 +57,7 @@ def _broadcast_row_indexes(data_shape, cdf_shape):
     return np.broadcast_to(idx, data_shape).ravel()
 
 
-def range_encode(data, cdf, precision: int) -> bytes:
+def range_encode(data, cdf, precision: int, debug_level: int = 1) -> bytes:
     """Encodes an int tensor into one string (legacy RangeEncode).
 
     cdf: int array of shape broadcastable to data.shape + (m+1,), with
@@ -50,6 +66,8 @@ def range_encode(data, cdf, precision: int) -> bytes:
     data = np.asarray(data, np.int64)
     cdf = np.asarray(cdf, np.int64)
     rows = cdf.reshape(-1, cdf.shape[-1])
+    if debug_level >= 1:
+        _validate_cdf_rows(rows, precision, "range_encode")
     row_idx = _broadcast_row_indexes(data.shape, cdf.shape)
     flat = data.ravel()
     enc = reference.RangeEncoder()
@@ -63,11 +81,14 @@ def range_encode(data, cdf, precision: int) -> bytes:
     return bytes(sink)
 
 
-def range_decode(encoded: bytes, shape, cdf, precision: int) -> np.ndarray:
+def range_decode(encoded: bytes, shape, cdf, precision: int,
+                 debug_level: int = 1) -> np.ndarray:
     """Inverse of range_encode; returns int16 per the reference op."""
     shape = tuple(int(s) for s in shape)
     cdf = np.asarray(cdf, np.int64)
     rows = cdf.reshape(-1, cdf.shape[-1])
+    if debug_level >= 1:
+        _validate_cdf_rows(rows, precision, "range_decode")
     row_idx = _broadcast_row_indexes(shape, cdf.shape)
     dec = reference.RangeDecoder(encoded)
     out = np.zeros(int(np.prod(shape)), np.int16)
@@ -78,7 +99,8 @@ def range_decode(encoded: bytes, shape, cdf, precision: int) -> np.ndarray:
 
 def unbounded_index_range_encode(data, index, cdf, cdf_size, offset,
                                  precision: int,
-                                 overflow_width: int) -> bytes:
+                                 overflow_width: int,
+                                 debug_level: int = 1) -> bytes:
     """Encodes with per-symbol CDF rows and an unbounded escape code.
 
     Matches unbounded_index_range_coding_kernels.cc:185-249: values are
@@ -92,6 +114,13 @@ def unbounded_index_range_encode(data, index, cdf, cdf_size, offset,
     cdf_size = np.asarray(cdf_size, np.int64)
     offset = np.asarray(offset, np.int64)
     max_overflow = (1 << overflow_width) - 1
+    if debug_level >= 1:
+        for r in range(cdf.shape[0]):
+            _validate_cdf_rows(cdf[r][: int(cdf_size[r])], precision,
+                               "unbounded_index_range_encode")
+        if (index < 0).any() or (index >= cdf.shape[0]).any():
+            raise ValueError(
+                "unbounded_index_range_encode: index out of range")
 
     enc = reference.RangeEncoder()
     sink = bytearray()
@@ -126,7 +155,8 @@ def unbounded_index_range_encode(data, index, cdf, cdf_size, offset,
 
 def unbounded_index_range_decode(encoded: bytes, index, cdf, cdf_size,
                                  offset, precision: int,
-                                 overflow_width: int) -> np.ndarray:
+                                 overflow_width: int,
+                                 debug_level: int = 1) -> np.ndarray:
     """Inverse of unbounded_index_range_encode."""
     index = np.asarray(index, np.int64)
     out_shape = index.shape
@@ -136,6 +166,13 @@ def unbounded_index_range_decode(encoded: bytes, index, cdf, cdf_size,
     offset = np.asarray(offset, np.int64)
     max_overflow = (1 << overflow_width) - 1
     overflow_cdf = np.arange(max_overflow + 2, dtype=np.int64)
+    if debug_level >= 1:
+        for r in range(cdf.shape[0]):
+            _validate_cdf_rows(cdf[r][: int(cdf_size[r])], precision,
+                               "unbounded_index_range_decode")
+        if (index < 0).any() or (index >= cdf.shape[0]).any():
+            raise ValueError(
+                "unbounded_index_range_decode: index out of range")
 
     dec = reference.RangeDecoder(encoded)
     out = np.zeros(index.size, np.int32)

@@ -24,12 +24,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["encode_scan_pallas", "decode_scan_pallas",
+# decode_scan_pallas (v1) is deliberately NOT exported: it is
+# interpret-mode-correct but miscompiles under the current Mosaic
+# toolchain on real TPU (silent wrong results; see docs/ROUND_NOTES.md).
+# It is kept only as an interpret-mode cross-check for the v2 kernel and
+# refuses to run compiled — decode_scan_pallas_v2 is the production path.
+__all__ = ["encode_scan_pallas",
            "decode_scan_pallas_v2", "decode_indexed_pallas",
            "pair_lookup_pallas"]
 
 _U16 = 0xFFFF
 _MASK32 = 0xFFFFFFFF
+
+# Saved so the v1 quarantine check can tell a monkeypatched interpret-mode
+# pallas_call (tests) from the real compiled path.
+_ORIG_PALLAS_CALL = pl.pallas_call
 
 
 def _mul_size(size_minus1, v):
@@ -309,7 +318,12 @@ def _make_decode_kernel(num_symbols, precision, max_pv, nb):
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def decode_scan_pallas(src16, byte_lens, num_symbols, precision, max_pv,
                        bucket_last, win17, block=256):
-    """Single-row decode as a Pallas kernel.
+    """QUARANTINED v1 single-row decode kernel — interpret mode only.
+
+    Miscompiles under the current Mosaic toolchain on real TPU (silent
+    wrong results); kept as an interpret-mode oracle for kernel-logic
+    tests.  Raises if invoked with a compiled TPU backend; production
+    uses decode_scan_pallas_v2.
 
     Args:
       src16: uint32 [S, C] chunk buffers.
@@ -321,6 +335,11 @@ def decode_scan_pallas(src16, byte_lens, num_symbols, precision, max_pv,
     Returns:
       (symbols int32 [S, num_symbols], sanity bool [S]).
     """
+    if (pl.pallas_call is _ORIG_PALLAS_CALL
+            and jax.default_backend() == "tpu"):
+        raise RuntimeError(
+            "decode_scan_pallas (v1) is quarantined: it miscompiles on "
+            "real TPU (silent wrong results). Use decode_scan_pallas_v2.")
     num_streams, nchunks = src16.shape
     nb = len(bucket_last)
     blast = jnp.asarray(bucket_last, jnp.float32)[None, :]

@@ -111,9 +111,23 @@ class BitReader:
         return (msbs << parameter) | self.read_bits(parameter)
 
 
+_warned_slow = False
+
+
 def _native():
     from compression_tpu import native
-    return native.get_lib()
+    lib = native.get_lib()
+    global _warned_slow
+    if lib is None and not _warned_slow:
+        import warnings
+        warnings.warn(
+            "compression_tpu native host codecs are not built; run-length "
+            "coding falls back to a sequential pure-Python bit coder "
+            "(~1000x slower). Build the native library (automatic where a "
+            "C toolchain exists) for production PowerLaw/Laplace coding.",
+            RuntimeWarning, stacklevel=3)
+        _warned_slow = True
+    return lib
 
 
 def run_length_gamma_encode(data) -> bytes:

@@ -56,9 +56,60 @@ def main():
     buf, lengths = jax_coder.encode_streams(local, table)
     buf_g, len_g = multihost.gather_bytes(buf, lengths)
 
+    # --- phase 2: data-parallel TRAINING step across processes --------
+    # Gradients all-reduce over the jax.distributed transport (the DCN
+    # path on a real pod); the resulting replicated params must equal a
+    # single-process step on the full global batch (the launching test
+    # checks this against params_after).
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from compression_tpu.models import bls2017
+    from compression_tpu.parallel import sharding as sh
+
+    n_dev = len(jax.devices())
+    mesh = Mesh(np.asarray(jax.devices()).reshape(n_dev, 1),
+                ("data", "model"))
+    model = bls2017.BLS2017Model(lmbda=0.01, num_filters=4)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), training=False)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    batch_global = np.asarray(
+        np.random.RandomState(5).randint(0, 256, (4, 16, 16, 3)),
+        np.float32)
+    per_b = batch_global.shape[0] // num_procs
+    local_b = batch_global[pid * per_b:(pid + 1) * per_b]
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    to_global = lambda tree, s: jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        tree)
+    params = to_global(params, repl)
+    opt_state = to_global(opt_state, repl)
+    batch = jax.make_array_from_process_local_data(data, local_b)
+
+    step = sh.data_parallel_train_step(
+        mesh, bls2017.make_train_step(model, optimizer))
+    key = jax.random.PRNGKey(7)
+    for i in range(2):
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = step(params, opt_state, batch, sub)
+    # Params are fully replicated: the local replica IS the global value.
+    params_local = jax.tree_util.tree_map(
+        lambda x: np.asarray(x.addressable_data(0)), params)
+    loss = float(np.asarray(metrics["loss"].addressable_data(0)))
+
     if pid == 0:
+        flat, _ = jax.tree_util.tree_flatten(params_local)
         np.savez(out_path, buf=buf_g, lengths=len_g, symbols=symbols,
-                 ragged=np.asarray(ragged, np.int32))
+                 ragged=np.asarray(ragged, np.int32),
+                 batch=batch_global, loss=np.float32(loss),
+                 **{f"param_{i}": np.asarray(leaf)
+                    for i, leaf in enumerate(flat)})
     print(f"proc {pid} done", flush=True)
 
 

@@ -71,3 +71,40 @@ class TestUnboundedIndexRangeCoding:
         decoded = legacy.unbounded_index_range_decode(
             code, index, cdf, cdf_size, offset, 8, 4)
         np.testing.assert_array_equal(decoded, data)
+
+
+class TestDebugLevelValidation:
+    """debug_level CDF/index validation (reference
+    range_coding_kernels.cc:194-196 analog)."""
+
+    def test_bad_cdf_rejected(self):
+        cdf = np.array([[0, 5, 3, 16]])  # non-monotone
+        with pytest.raises(ValueError, match="nondecreasing"):
+            legacy.range_encode(np.zeros((1,), np.int32), cdf, 4)
+        with pytest.raises(ValueError, match="nondecreasing"):
+            legacy.range_decode(b"\x00", (1,), cdf, 4)
+
+    def test_cdf_exceeding_precision_rejected(self):
+        cdf = np.array([[0, 10, 20]])
+        with pytest.raises(ValueError, match="exceed"):
+            legacy.range_encode(np.zeros((1,), np.int32), cdf, 4)
+
+    def test_nonzero_start_rejected(self):
+        cdf = np.array([[1, 8, 16]])
+        with pytest.raises(ValueError, match="start at 0"):
+            legacy.range_decode(b"\x00", (1,), cdf, 4)
+
+    def test_index_out_of_range_rejected(self):
+        cdf = np.array([[0, 8, 16, 16]])
+        with pytest.raises(ValueError, match="index out of range"):
+            legacy.unbounded_index_range_encode(
+                np.zeros(2, np.int32), np.array([0, 5]), cdf,
+                np.array([4]), np.array([0]), 4, 2)
+
+    def test_debug_level_zero_skips_validation(self):
+        # Level 0 trusts inputs (the reference's fast path).
+        cdf = np.array([[0, 8, 16]])
+        data = np.zeros((3,), np.int32)
+        enc = legacy.range_encode(data, cdf, 4, debug_level=0)
+        out = legacy.range_decode(enc, (3,), cdf, 4, debug_level=0)
+        np.testing.assert_array_equal(out, data)

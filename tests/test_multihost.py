@@ -65,3 +65,66 @@ def test_two_process_table_broadcast_and_gather(tmp_path):
         data["buf"], data["lengths"], data["symbols"].shape[1], table)
     np.testing.assert_array_equal(sym, data["symbols"])
     assert bool(np.all(sanity))
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    """DP training across 2 processes (grad all-reduce over the
+    jax.distributed transport) must produce the same params as a
+    single-process step over the full global batch."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from compression_tpu.models import bls2017
+    from compression_tpu.parallel import sharding as sh
+
+    port = _free_port()
+    out = str(tmp_path / "trained.npz")
+    env = {
+        "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+        "HOME": os.environ.get("HOME", "/root"),
+        "PYTHONPATH": os.path.dirname(os.path.dirname(_WORKER)),
+        "JAX_PLATFORMS": "cpu",
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, f"127.0.0.1:{port}", "2", str(pid),
+             out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(2)
+    ]
+    outputs = []
+    try:
+        for p in procs:
+            stdout, _ = p.communicate(timeout=420)
+            outputs.append(stdout)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, text in zip(procs, outputs):
+        assert p.returncode == 0, text[-2000:]
+
+    data = np.load(out)
+
+    # Reproduce the same 2 training steps single-process.
+    model = bls2017.BLS2017Model(lmbda=0.01, num_filters=4)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), training=False)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    mesh = sh.make_mesh(1, data_axis=1)
+    step = sh.data_parallel_train_step(
+        mesh, bls2017.make_train_step(model, optimizer))
+    key = jax.random.PRNGKey(7)
+    batch = jnp.asarray(data["batch"])
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = step(params, opt_state, batch, sub)
+
+    flat, _ = jax.tree_util.tree_flatten(params)
+    for i, leaf in enumerate(flat):
+        np.testing.assert_allclose(
+            np.asarray(leaf), data[f"param_{i}"], rtol=1e-5, atol=1e-6,
+            err_msg=f"param leaf {i} diverged between 1- and 2-process DP")
