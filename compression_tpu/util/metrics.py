@@ -12,7 +12,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["psnr", "ssim", "msssim"]
+__all__ = ["psnr", "ssim", "msssim", "frechet_distance",
+           "fid_from_features", "kid_from_features",
+           "image_perceptual_features"]
 
 _MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
@@ -96,3 +98,92 @@ def msssim(a, b, max_val=255.0, weights=_MSSSIM_WEIGHTS, **kwargs):
     result = jnp.prod(
         jnp.stack(mcs[:-1], 0) ** weights[:-1, None], axis=0)
     return result * (mcs[-1] * lum) ** weights[-1]
+
+
+# --- distribution-level perceptual metrics (HiFiC evaluation columns,
+# reference models/hific/data.csv: FID/KID) --------------------------------
+
+def _sqrtm_psd(mat, eps=1e-10):
+    """Matrix square root of a symmetric PSD matrix via eigh."""
+    w, v = jnp.linalg.eigh(mat)
+    w = jnp.maximum(w, eps)
+    return (v * jnp.sqrt(w)) @ v.T
+
+
+def frechet_distance(mu1, cov1, mu2, cov2):
+    """Fréchet distance between two Gaussians:
+    ||mu1-mu2||^2 + Tr(C1 + C2 - 2 (C1 C2)^1/2)."""
+    mu1, mu2 = jnp.asarray(mu1), jnp.asarray(mu2)
+    cov1, cov2 = jnp.asarray(cov1), jnp.asarray(cov2)
+    s1 = _sqrtm_psd(cov1)
+    # Tr sqrt(C1 C2) = Tr sqrt(s1 C2 s1) (similar PSD matrix).
+    inner = s1 @ cov2 @ s1
+    w = jnp.maximum(jnp.linalg.eigvalsh(inner), 0.0)
+    tr_sqrt = jnp.sum(jnp.sqrt(w))
+    return (jnp.sum((mu1 - mu2) ** 2) + jnp.trace(cov1) + jnp.trace(cov2)
+            - 2.0 * tr_sqrt)
+
+
+def fid_from_features(feats_a, feats_b):
+    """Fréchet inception-style distance between two feature sets [N, D].
+
+    Feature extractor is the caller's choice (the reference pipeline uses
+    Inception pool3; `lpips.vgg16_features` is the in-repo TPU-native
+    extractor).  Needs N > D for a well-conditioned covariance.
+    """
+    a = jnp.asarray(feats_a, jnp.float32)
+    b = jnp.asarray(feats_b, jnp.float32)
+    mu_a, mu_b = a.mean(0), b.mean(0)
+    ca = jnp.cov(a, rowvar=False)
+    cb = jnp.cov(b, rowvar=False)
+    ca = jnp.atleast_2d(ca)
+    cb = jnp.atleast_2d(cb)
+    return frechet_distance(mu_a, ca, mu_b, cb)
+
+
+def kid_from_features(feats_a, feats_b, block_size=None, seed=0):
+    """Kernel inception-style distance (unbiased MMD^2, cubic kernel
+    k(x,y) = (x.y/D + 1)^3, Binkowski et al. 2018), averaged over blocks.
+    """
+    a = jnp.asarray(feats_a, jnp.float32)
+    b = jnp.asarray(feats_b, jnp.float32)
+    n = min(a.shape[0], b.shape[0])
+    if block_size is None or block_size > n:
+        block_size = n
+    num_blocks = max(n // block_size, 1)
+    d = a.shape[1]
+
+    def poly(x, y):
+        return (x @ y.T / d + 1.0) ** 3
+
+    vals = []
+    for i in range(num_blocks):
+        xa = a[i * block_size:(i + 1) * block_size]
+        xb = b[i * block_size:(i + 1) * block_size]
+        m = xa.shape[0]
+        kxx = poly(xa, xa)
+        kyy = poly(xb, xb)
+        kxy = poly(xa, xb)
+        sum_xx = (jnp.sum(kxx) - jnp.trace(kxx)) / (m * (m - 1))
+        sum_yy = (jnp.sum(kyy) - jnp.trace(kyy)) / (m * (m - 1))
+        sum_xy = jnp.mean(kxy)
+        vals.append(sum_xx + sum_yy - 2 * sum_xy)
+    return jnp.mean(jnp.asarray(vals))
+
+
+def image_perceptual_features(params, images, input_range=(0.0, 255.0)):
+    """Pooled VGG16 feature embedding for FID/KID over image batches.
+
+    Uses the TPU-native LPIPS VGG stack (compression_tpu.models.lpips);
+    with pretrained weights loaded the embedding matches a standard VGG
+    perceptual space, otherwise the deterministic random-feature fallback
+    still yields a valid (if weaker) two-sample statistic.
+    """
+    from compression_tpu.models import lpips as lpips_lib
+
+    x = jnp.asarray(images, jnp.float32)
+    lo, hi = input_range
+    x = (x - lo) / (hi - lo)
+    feats = lpips_lib.vgg16_features(params, x * 2.0 - 1.0)
+    pooled = [jnp.mean(f, axis=(1, 2)) for f in feats]
+    return jnp.concatenate(pooled, axis=-1)
