@@ -33,10 +33,12 @@ __all__ = [
     "port_gdn",
     "port_deep_factorized",
     "port_bls2017",
+    "port_bmshj2018",
     "extract_signal_conv",
     "extract_gdn",
     "extract_deep_factorized",
     "extract_bls2017",
+    "extract_bmshj2018",
 ]
 
 
@@ -92,6 +94,86 @@ def port_bls2017(tf_vars):
         [tf_vars[f"prior/bias_{i}"] for i in range(n_layers)],
         [tf_vars[f"prior/factor_{i}"] for i in range(n_layers - 1)])
     return {"params": params}
+
+
+def _port_conv_entry(tf_vars, key):
+    """One SignalConv from flat vars: rdft (real/imag) or plain kernel."""
+    if f"{key}/rdft_real" in tf_vars:
+        return port_signal_conv(
+            tf_vars[f"{key}/rdft_real"], tf_vars[f"{key}/rdft_imag"],
+            tf_vars.get(f"{key}/bias"))
+    out = {"kernel": np.asarray(tf_vars[f"{key}/kernel"], np.float32)}
+    if f"{key}/bias" in tf_vars:
+        out["bias"] = np.asarray(tf_vars[f"{key}/bias"], np.float32)
+    return out
+
+
+def port_bmshj2018(tf_vars):
+    """Flat reference-variable dict -> flax params for BMSHJ2018Model.
+
+    Reference architecture models/bmshj2018.py:52-139: 4-layer analysis/
+    synthesis with (I)GDN, 3-layer hyper transforms (hyper-synthesis
+    kernels stored as plain variables, not RDFT), DeepFactorized
+    hyperprior.
+    """
+    params = {}
+    for side, n_conv, gdn_name in (("analysis", 4, "gdn"),
+                                   ("synthesis", 4, "igdn")):
+        sub = {}
+        for i in range(n_conv):
+            sub[f"layer_{i}"] = _port_conv_entry(tf_vars, f"{side}/layer_{i}")
+        for i in range(n_conv - 1):
+            key = f"{side}/{gdn_name}_{i}"
+            sub[f"{gdn_name}_{i}"] = port_gdn(
+                tf_vars[f"{key}/beta"], tf_vars[f"{key}/gamma"])
+        params[side] = sub
+    for side in ("hyper_analysis", "hyper_synthesis"):
+        params[side] = {
+            f"layer_{i}": _port_conv_entry(tf_vars, f"{side}/layer_{i}")
+            for i in range(3)}
+    n_layers = len([k for k in tf_vars if k.startswith("prior/matrix_")])
+    # The flax param slot is named "hyperprior" in BMSHJ2018Model.setup.
+    params["hyperprior"] = port_deep_factorized(
+        [tf_vars[f"prior/matrix_{i}"] for i in range(n_layers)],
+        [tf_vars[f"prior/bias_{i}"] for i in range(n_layers)],
+        [tf_vars[f"prior/factor_{i}"] for i in range(n_layers - 1)])
+    return {"params": params}
+
+
+def extract_conv_stack(tf_vars, side, convs, gdn_name=None):
+    """Flattens a list of reference SignalConv layers (+GDN activations)
+    into `tf_vars` under `{side}/layer_{i}` (+ `{side}/{gdn}_{i}`)."""
+    for i, conv in enumerate(convs):
+        kp = conv.kernel_parameter
+        if hasattr(kp, "real"):  # RDFTParameter
+            tf_vars[f"{side}/layer_{i}/rdft_real"] = kp.real.numpy()
+            tf_vars[f"{side}/layer_{i}/rdft_imag"] = kp.imag.numpy()
+        else:  # plain tf.Variable kernel
+            tf_vars[f"{side}/layer_{i}/kernel"] = kp.numpy()
+        bp = getattr(conv, "bias_parameter", None)
+        if bp is not None and hasattr(bp, "numpy"):
+            tf_vars[f"{side}/layer_{i}/bias"] = bp.numpy()
+    if gdn_name is not None:
+        gdns = [c.activation for c in convs
+                if hasattr(c.activation, "beta_parameter")]
+        for i, g in enumerate(gdns):
+            tf_vars[f"{side}/{gdn_name}_{i}/beta"] = \
+                g.beta_parameter.variable.numpy()
+            tf_vars[f"{side}/{gdn_name}_{i}/gamma"] = \
+                g.gamma_parameter.variable.numpy()
+    return tf_vars
+
+
+def extract_bmshj2018(analysis, synthesis, hyper_analysis, hyper_synthesis,
+                      prior_base):
+    tf_vars = {}
+    extract_conv_stack(tf_vars, "analysis", analysis, "gdn")
+    extract_conv_stack(tf_vars, "synthesis", synthesis, "igdn")
+    extract_conv_stack(tf_vars, "hyper_analysis", hyper_analysis)
+    extract_conv_stack(tf_vars, "hyper_synthesis", hyper_synthesis)
+    for k, v in extract_deep_factorized(prior_base).items():
+        tf_vars[f"prior/{k}"] = v
+    return tf_vars
 
 
 # --- extraction from live reference layer objects (TF side) -------------
