@@ -297,7 +297,8 @@ class ContinuousBatchedEntropyModel(continuous_base.ContinuousEntropyModelBase):
             outputs = outputs + offset
         return outputs
 
-    def compress_device(self, bottleneck, max_gamma_bits=16):
+    def compress_device(self, bottleneck, max_gamma_bits=16,
+                        escape_budget=64):
         """Fully traced compress: runs inside jit, end to end on device.
 
         Unlike `compress` (which sizes the micro-op budget from the data on
@@ -308,8 +309,17 @@ class ContinuousBatchedEntropyModel(continuous_base.ContinuousEntropyModelBase):
         limit).  With the default 16, escapes cover the entire int16-ish
         overflow range used in practice.
 
+        Args:
+          bottleneck: data to compress.
+          max_gamma_bits: per-escape magnitude cap (2**bits).
+          escape_budget: static per-stream budget of escaping symbols the
+            traced program reserves micro-ops for.  ``ok=False`` in the
+            result means the data exceeded it (caller falls back to the
+            untraced path or re-traces with a larger budget; each budget
+            value is a separate compiled program).
+
         Returns:
-          (bytes [S, L] uint8, lengths [S] int32) as device arrays.
+          (bytes [S, L] uint8, lengths [S] int32, ok bool) device arrays.
         """
         self._check_compression()
         from compression_tpu.codec.jax_coder import (
@@ -326,9 +336,9 @@ class ContinuousBatchedEntropyModel(continuous_base.ContinuousEntropyModelBase):
         table = self.device_table
         if table.any_overflow:
             slots = 2 * int(max_gamma_bits) + 3
-            # Static budget: up to 64 escaping symbols per stream (plus the
-            # base ops).  `ok` reports whether the data actually fit.
-            num_steps = _round_up(n + 64 * slots, 64)
+            # Static budget of escaping symbols per stream (plus the base
+            # ops).  `ok` reports whether the data actually fit.
+            num_steps = _round_up(n + int(escape_budget) * slots, 64)
             len_r = table.length[indexes]
             mv = len_r - 2
             ovf_r = table.overflow[indexes]

@@ -260,13 +260,15 @@ class ContinuousIndexedEntropyModel(continuous_base.ContinuousEntropyModelBase):
         return jnp.asarray(
             symbols.reshape(out_shape), self.bottleneck_dtype)
 
-    def compress_device(self, bottleneck, indexes, max_gamma_bits=16):
+    def compress_device(self, bottleneck, indexes, max_gamma_bits=16,
+                        escape_budget=64):
         """Fully traced indexed compress: runs inside jit, end to end.
 
         Same static escape budget contract as
-        ContinuousBatchedEntropyModel.compress_device: up to 64 escaping
-        symbols per stream, each within ``+-2**max_gamma_bits`` of the
-        table range; the returned ``ok`` reports whether the data fit.
+        ContinuousBatchedEntropyModel.compress_device: up to
+        ``escape_budget`` escaping symbols per stream, each within
+        ``+-2**max_gamma_bits`` of the table range; the returned ``ok``
+        reports whether the data fit.
 
         Returns:
           (bytes [batch..., L] uint8, lengths [batch...] int32, ok bool).
@@ -292,7 +294,7 @@ class ContinuousIndexedEntropyModel(continuous_base.ContinuousEntropyModelBase):
         table = self.device_table
         if table.any_overflow:
             slots = 2 * int(max_gamma_bits) + 3
-            num_steps = _round_up(n + 64 * slots, 64)
+            num_steps = _round_up(n + int(escape_budget) * slots, 64)
             len_r = table.length[idx2]
             mv = len_r - 2
             ovf_r = table.overflow[idx2]
@@ -421,12 +423,13 @@ class LocationScaleIndexedEntropyModel(ContinuousIndexedEntropyModel):
         return values
 
     def compress_device(self, bottleneck, scale_indexes, loc=None,
-                        max_gamma_bits=16):
+                        max_gamma_bits=16, escape_budget=64):
         """Fully traced loc/scale compress (runs inside jit on device)."""
         if loc is not None:
             bottleneck = bottleneck - loc
         return super().compress_device(
-            bottleneck, scale_indexes, max_gamma_bits=max_gamma_bits)
+            bottleneck, scale_indexes, max_gamma_bits=max_gamma_bits,
+            escape_budget=escape_budget)
 
     def decompress_device(self, src16, byte_lens, scale_indexes, loc=None):
         """Fully traced loc/scale decompress (runs inside jit on device)."""

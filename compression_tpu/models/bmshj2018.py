@@ -430,6 +430,12 @@ def _codec_device_compress(codec, x):
     y_buf, y_lens, z_buf, z_lens, ok = fn(codec.params, x)
     if not bool(ok):
         # Escape budget exceeded (extreme outliers): host path fallback.
+        import warnings
+        warnings.warn(
+            "compress_on_device escape budget exceeded (extreme outlier "
+            "latents); falling back to the host compress path for this "
+            "image. Re-trace with a larger escape_budget to keep this "
+            "workload on device.", RuntimeWarning, stacklevel=2)
         return codec.compress(np.asarray(x)[0].astype(np.uint8))
     strings = jc.to_bytes_list(
         np.asarray(y_buf).reshape(1, -1), np.asarray(y_lens).reshape(-1))

@@ -474,6 +474,12 @@ class MS2020Codec:
         z_buf, z_lens, y_bufs, y_lens, ok = fn(self.params, x)
         if not bool(ok):
             # Escape budget exceeded (extreme outliers): host fallback.
+            import warnings
+            warnings.warn(
+                "compress_on_device escape budget exceeded (extreme outlier "
+                "latents); falling back to the host compress path for this "
+                "image. Re-trace with a larger escape_budget to keep this "
+                "workload on device.", RuntimeWarning, stacklevel=2)
             return self.compress(np.asarray(x)[0].astype(np.uint8))
         z_strings = jc.to_bytes_list(
             np.asarray(z_buf).reshape(1, -1), np.asarray(z_lens).reshape(-1))
