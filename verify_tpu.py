@@ -26,12 +26,17 @@ Usage:  python verify_tpu.py          (aborts unless backend == tpu)
         python verify_tpu.py --allow-cpu   (debug: run anyway)
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-import jax
+# Persist XLA compilations across runs (same setting as bench.py).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+
+import jax  # noqa: E402
 import jax.numpy as jnp
 
 from compression_tpu.codec import jax_coder, stream, tables
@@ -77,10 +82,21 @@ def check_case(name, table, symbols, indexes=None, expect_enc=None,
     dt = jax_coder.DeviceCdfTable(table)
     n = symbols.shape[1]
 
+    # The fused encoders only serve escape-free data (the host wrapper
+    # computes the micro-op budget from the data; escapes => slots>1 =>
+    # XLA micro-op path), so path prediction must look at the data too.
+    idx_np = (np.asarray(indexes) if indexes is not None
+              else np.broadcast_to(
+                  np.arange(n, dtype=np.int32) % int(dt.num_rows),
+                  symbols.shape))
+    mv = table.length[idx_np] - 2
+    has_esc = bool(np.any(table.overflow[idx_np]
+                          & ((symbols < 0) | (symbols >= mv))))
     enc_path = ("pallas-single"
-                if jax_coder._pallas_encode_applicable(dt)
+                if jax_coder._pallas_encode_applicable(dt) and not has_esc
                 else "pallas-indexed"
-                if jax_coder._pallas_encode_indexed_applicable(dt)
+                if (jax_coder._pallas_encode_indexed_applicable(dt)
+                    and not has_esc)
                 else "xla")
     sub = jax_coder._indexed_kernel_sub(n, 2 * n)
     dec_path = ("pallas-single"
