@@ -1163,11 +1163,14 @@ def decode_indexed_pallas(src16, byte_lens, indexes, num_symbols, table,
     host = table.host
     cached = host.kernel_tables.get("indexed_decode")
     if cached is None:
-        w_packed, meta, max_nb = _decode_indexed_tables(
+        # Cache NUMPY arrays only: jnp.asarray inside a jit trace returns
+        # a tracer, and caching a tracer leaks it into later traces
+        # (UnexpectedTracerError on reuse across jits).
+        cached = _decode_indexed_tables(
             host.cdf, host.length, host.precision, host.overflow)
-        cached = (jnp.asarray(w_packed), jnp.asarray(meta), max_nb)
         host.kernel_tables["indexed_decode"] = cached
-    w_packed, meta, max_nb = cached
+    w_packed_np, meta_np, max_nb = cached
+    w_packed, meta = jnp.asarray(w_packed_np), jnp.asarray(meta_np)
     bs_iters = max(int(np.ceil(np.log2(max_nb))), 0) if max_nb > 1 else 0
     if in_stream_gamma is None:
         in_stream_gamma = bool(host.overflow.any())
@@ -1714,11 +1717,13 @@ def encode_indexed_device(symbols, indexes, table, out_size, sub=8):
     host = table.host
     cached = host.kernel_tables.get("indexed_encode")
     if cached is None:
-        pairs_arr, meta = _encode_indexed_tables(
+        # Cache NUMPY arrays only (see indexed_decode: a jnp.asarray made
+        # under tracing is a tracer; caching it poisons later traces).
+        cached = _encode_indexed_tables(
             host.cdf, host.length, host.precision, host.overflow)
-        cached = (jnp.asarray(pairs_arr), jnp.asarray(meta))
         host.kernel_tables["indexed_encode"] = cached
-    pairs_arr, meta = cached
+    pairs_np, meta_np = cached
+    pairs_arr, meta = jnp.asarray(pairs_np), jnp.asarray(meta_np)
 
     nsub = num_streams // 128
     vq_t = jnp.asarray(symbols, jnp.int32).T.reshape(n, nsub, 128)

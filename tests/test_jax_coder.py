@@ -173,3 +173,30 @@ class TestGoldenParity:
             assert sanity.all(), name
             checked += 1
         assert checked >= 15
+
+
+def test_table_cache_survives_multiple_jits():
+    """Regression: the per-table kernel caches must hold host arrays, not
+    tracers — using one DeviceCdfTable from several distinct jitted
+    functions previously raised UnexpectedTracerError (bench_indexed)."""
+    import jax
+
+    rng = np.random.RandomState(0)
+    rows = [rng.dirichlet(np.ones(12)), rng.dirichlet(np.ones(20))]
+    cdfs = [tables.pmf_to_quantized_cdf(p.astype(np.float32), 10)
+            for p in rows]
+    t = tables.parse_ragged_cdf(
+        tables.build_ragged_cdf(cdfs, [10, 10], [True, True]))
+    dt = jax_coder.DeviceCdfTable(t)
+    sym = rng.randint(0, 10, (8, 32)).astype(np.int32)
+    idx = rng.randint(0, 2, (8, 32)).astype(np.int32)
+    n, out_size = 64, 2 * 64 + 4
+
+    f1 = jax.jit(lambda s, i: jax_coder.encode_dispatch(
+        s, dt, n, out_size, indexes=i))
+    f2 = jax.jit(lambda s, i: jax_coder.encode_dispatch(
+        s, dt, n, out_size, indexes=i))
+    buf1, len1 = f1(jnp.asarray(sym), jnp.asarray(idx))
+    buf2, len2 = f2(jnp.asarray(sym), jnp.asarray(idx))  # 2nd trace, same dt
+    np.testing.assert_array_equal(np.asarray(buf1), np.asarray(buf2))
+    np.testing.assert_array_equal(np.asarray(len1), np.asarray(len2))
