@@ -180,6 +180,7 @@ def test_table_cache_survives_multiple_jits():
     tracers — using one DeviceCdfTable from several distinct jitted
     functions previously raised UnexpectedTracerError (bench_indexed)."""
     import jax
+    import jax.numpy as jnp
 
     rng = np.random.RandomState(0)
     rows = [rng.dirichlet(np.ones(12)), rng.dirichlet(np.ones(20))]
