@@ -711,7 +711,15 @@ def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
     """
 
     def kernel(src_ref, len_ref, idx_ref, w_ref, meta_ref, sym_ref,
-               san_ref):
+               san_ref, *scratch):
+        # Overflow variant: the 32-chunk source window lives in VMEM
+        # scratch (win_ref) with its per-lane base in b16_ref, so the
+        # escape conds/whiles carry only the 4 coder-state arrays —
+        # carrying the window through scf region boundaries spills
+        # ~128 KB per step and was measured ~6x slower end to end.
+        win_ref = scratch[0] if any_overflow else None
+        b16_ref = scratch[1] if any_overflow else None
+
         def u2f(x):
             hi = (x >> 16).astype(jnp.int32).astype(jnp.float32)
             lo = (x & 0xFFFF).astype(jnp.int32).astype(jnp.float32)
@@ -778,27 +786,39 @@ def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
                     window[j] = jnp.where(m, row, window[j])
             return tuple(window), b0 << 4
 
-        def ensure(window, base16, chunks_read):
-            need = jnp.any((chunks_read - base16) >= 32)
-            return jax.lax.cond(
-                need, lambda: pull_window(chunks_read),
-                lambda: (window, base16))
+        def pull_to_scratch(chunks_read):
+            window, base16 = pull_window(chunks_read)
+            for j in range(32):
+                win_ref[j] = window[j]
+            b16_ref[0] = base16
 
-        def fetch(window, base16, chunks_read):
+        def ensure_s(chunks_read):
+            need = jnp.any((chunks_read - b16_ref[0]) >= 32)
+            # lax.cond with a no-op false branch == pl.when, but
+            # monkeypatchable by the eager kernel-body tests.
+            jax.lax.cond(need, lambda: pull_to_scratch(chunks_read),
+                         lambda: None)
+
+        def fetch(win, chunks_read):
+            if win is None:
+                rows = [win_ref[j] for j in range(32)]
+                base16 = b16_ref[0]
+            else:
+                rows, base16 = win
             offs = chunks_read - base16
             ovf = offs >= 32
-            sel = list(window)
+            sel = list(rows)
             for bit in (16, 8, 4, 2, 1):
                 sel = [jnp.where(offs & bit != 0, sel[i + bit], sel[i])
                        for i in range(bit)]
             return jnp.where(ovf, 0, sel[0]).astype(jnp.uint32)
 
-        def refine(state, window, base16, a, b, mask):
+        def refine(state, win, a, b, mask):
             base, sm1, value, chunks_read = state
             nbse = base + a
             ns = b - a
             renorm = ((ns >> 16) == 0) & mask
-            chunk = fetch(window, base16, chunks_read)
+            chunk = fetch(win, chunks_read)
             base = jnp.where(mask, jnp.where(renorm, nbse << 16, nbse),
                              base)
             sm1 = jnp.where(
@@ -830,7 +850,7 @@ def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
                           jnp.where(ok(t0 + 1), t0 + 1, t0 + 2)))
             return jnp.where(thr > 1, thr, jnp.uint32(1))
 
-        def dec_bin(state, window, base16, mask):
+        def dec_bin(state, win, mask):
             """One bit with the binary uniform CDF {0,1,2} at precision 1."""
             base, sm1, value, _ = state
             vb1 = (value - base) + jnp.uint32(1)
@@ -843,58 +863,60 @@ def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
             bit = jnp.where(ge, jnp.uint32(0), jnp.uint32(1))
             a = mul_shift1(sm1, bit)
             b = mul_shift1(sm1, bit + 1) - 1
-            state = refine(state, window, base16, a, b, mask)
+            state = refine(state, win, a, b, mask)
             return state, bit
 
-        def gamma_decode(state, window, base16, active):
+        def gamma_decode(state, active):
             """Masked Elias-gamma magnitude + sign (OverflowDecode).
 
-            Loop masks are carried as int32 0/1 (Mosaic cannot legalize
-            i1 vectors in scf.yield region boundaries).
+            Scratch-window variant: the source window is re-pulled into
+            win_ref as needed; the while loops carry only the coder
+            state.  Loop masks are carried as int32 0/1 (Mosaic cannot
+            legalize i1 vectors in scf.yield region boundaries).
             """
 
             def ucond(c):
-                return jnp.any(c[3] != 0)
+                return jnp.any(c[1] != 0)
 
             def ubody(c):
-                state, window, base16, act_i, n = c
+                state, act_i, n = c
                 act = act_i != 0
-                window, base16 = ensure(window, base16, state[3])
-                state, bit = dec_bin(state, window, base16, act)
+                ensure_s(state[3])
+                state, bit = dec_bin(state, None, act)
                 cont = act & (bit == 0)
                 n = n + jnp.where(cont, 1, 0).astype(jnp.uint32)
                 act_i = jnp.where(cont & (n < 31), 1, 0)
-                return state, window, base16, act_i, n
+                return state, act_i, n
 
             n0 = jnp.zeros((sub, 128), jnp.uint32)
             active_i = jnp.where(active, 1, 0)
-            state, window, base16, _, n = jax.lax.while_loop(
-                ucond, ubody, (state, window, base16, active_i, n0))
+            state, _, n = jax.lax.while_loop(
+                ucond, ubody, (state, active_i, n0))
 
             gval = jnp.where(active, jnp.uint32(1) << n, jnp.uint32(0))
             k0 = jnp.where(active, n, jnp.uint32(0))
 
             def bcond(c):
-                return jnp.any(c[3] > 0)
+                return jnp.any(c[1] > 0)
 
             def bbody(c):
-                state, window, base16, k, gval = c
+                state, k, gval = c
                 act = k > 0
-                window, base16 = ensure(window, base16, state[3])
-                state, bit = dec_bin(state, window, base16, act)
+                ensure_s(state[3])
+                state, bit = dec_bin(state, None, act)
                 gval = jnp.where(act, gval | (bit << (k - 1)), gval)
                 k = jnp.where(act, k - 1, k)
-                return state, window, base16, k, gval
+                return state, k, gval
 
-            state, window, base16, _, gval = jax.lax.while_loop(
-                bcond, bbody, (state, window, base16, k0, gval))
-            window, base16 = ensure(window, base16, state[3])
-            state, sign = dec_bin(state, window, base16, active)
-            return state, window, base16, gval, sign
+            state, _, gval = jax.lax.while_loop(
+                bcond, bbody, (state, k0, gval))
+            ensure_s(state[3])
+            state, sign = dec_bin(state, None, active)
+            return state, gval, sign
 
         all_true = jnp.ones((sub, 128), bool)
 
-        def search(state, row, window, base16):
+        def search(state, row, win):
             """One indexed symbol decode (search + interval refinement)."""
             boff = gather_meta(0, row)
             nbr = gather_meta(1, row)
@@ -935,7 +957,7 @@ def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
             sm1 = state[1]
             a = mul_shift_v(sm1, c_lo.astype(jnp.uint32), prec)
             b = mul_shift_v(sm1, c_hi.astype(jnp.uint32), prec) - 1
-            state = refine(state, window, base16, a, b, all_true)
+            state = refine(state, win, a, b, all_true)
             return state, sym, mv, ovf_r
 
         chunks0 = jnp.full((sub, 128), 2, jnp.int32)
@@ -950,8 +972,8 @@ def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
 
             def one_step(carry, window, base16, t):
                 state = carry
-                state, sym, _, _ = search(state, idx_ref[t], window,
-                                          base16)
+                state, sym, _, _ = search(state, idx_ref[t],
+                                          (window, base16))
                 sym_ref[t] = sym
                 return state
 
@@ -975,40 +997,31 @@ def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
             base, sm1, value, chunks_read = carry
         else:
             def step(t, carry):
-                base, sm1, value, chunks_read, window, base16 = carry
-                window, base16 = ensure(window, base16, chunks_read)
-                state = (base, sm1, value, chunks_read)
-                state, sym, mv, ovf_r = search(state, idx_ref[t], window,
-                                               base16)
+                ensure_s(carry[3])
+                state, sym, mv, ovf_r = search(carry, idx_ref[t], None)
                 esc = ovf_r & (sym == mv)
 
                 def do_gamma():
-                    st2, w2, b2, gval, gsign = gamma_decode(
-                        state, window, base16, esc)
+                    st2, gval, gsign = gamma_decode(state, esc)
                     gv = gval.astype(jnp.int32)
                     s2 = jnp.where(
                         esc, jnp.where(gsign == 1, -gv, gv + mv - 1), sym)
-                    return st2, w2, b2, s2
+                    return st2, s2
 
                 def skip():
-                    return state, window, base16, sym
+                    return state, sym
 
-                state, window, base16, sym = jax.lax.cond(
-                    jnp.any(esc), do_gamma, skip)
-
+                state2, sym = jax.lax.cond(jnp.any(esc), do_gamma, skip)
                 sym_ref[t] = sym
-                base, sm1, value, chunks_read = state
-                return base, sm1, value, chunks_read, window, base16
+                return state2
 
-            window0, base16_0 = pull_window(chunks0)
+            pull_to_scratch(chunks0)
             carry = (jnp.zeros_like(value0),
                      jnp.full_like(value0, _MASK32),
                      value0,
-                     chunks0,
-                     window0,
-                     base16_0)
+                     chunks0)
             carry = jax.lax.fori_loop(0, num_symbols, step, carry)
-            base, sm1, value, chunks_read = carry[:4]
+            base, sm1, value, chunks_read = carry
 
         # Weak decoder sanity (RangeDecoder::Finalize), int32 select form.
         upper_end = base + sm1
@@ -1130,6 +1143,10 @@ def _decode_indexed_call(src16, byte_lens, indexes, w_packed, meta,
             jax.ShapeDtypeStruct((num_symbols, nsub, 128), jnp.int32),
             jax.ShapeDtypeStruct((nsub, 128), jnp.int32),
         ],
+        scratch_shapes=(
+            [pltpu.VMEM((32, sub, 128), jnp.int32),
+             pltpu.VMEM((1, sub, 128), jnp.int32)]
+            if any_overflow else []),
     )(src_t, len2, idx_t, w_packed, meta)
     sym = sym.reshape(num_symbols, nsub * 128).T
     return sym, san.reshape(-1) != 0

@@ -193,11 +193,14 @@ def test_decode_kernel_indexed_matches_oracle(n_elements, any_overflow,
         blk = slice(i * sub, (i + 1) * sub)
         sym_blk = np.zeros((N, sub, 128), np.int32)
         san_blk = np.zeros((sub, 128), np.int32)
+        scratch = ([_FakeRef(np.zeros((32, sub, 128), np.int32)),
+                    _FakeRef(np.zeros((1, sub, 128), np.int32))]
+                   if any_overflow else [])
         kernel(_FakeRef(src_t[:, blk]),
                _FakeRef(np.asarray(lengths).reshape(nsub, 128)[blk]),
                _FakeRef(idx_t[:, blk]),
                _FakeRef(w_packed), _FakeRef(meta),
-               _FakeRef(sym_blk), _FakeRef(san_blk))
+               _FakeRef(sym_blk), _FakeRef(san_blk), *scratch)
         sym_out[:, blk] = sym_blk
         san_out[blk] = san_blk
 
