@@ -73,16 +73,19 @@ class SynthesisTransform(nn.Module):
 
 class HyperAnalysisTransform(nn.Module):
     hyperprior_depth: int = 192
+    widths: tuple = (320, 256)
 
     @nn.compact
     def __call__(self, y):
         y = SignalConv2D(
-            filters=320, kernel_support=3, corr=True, strides_down=1,
-            padding="same_zeros", use_bias=True, name="layer_0")(y)
+            filters=self.widths[0], kernel_support=3, corr=True,
+            strides_down=1, padding="same_zeros", use_bias=True,
+            name="layer_0")(y)
         y = jax.nn.relu(y)
         y = SignalConv2D(
-            filters=256, kernel_support=5, corr=True, strides_down=2,
-            padding="same_zeros", use_bias=True, name="layer_1")(y)
+            filters=self.widths[1], kernel_support=5, corr=True,
+            strides_down=2, padding="same_zeros", use_bias=True,
+            name="layer_1")(y)
         y = jax.nn.relu(y)
         y = SignalConv2D(
             filters=self.hyperprior_depth, kernel_support=5, corr=True,
@@ -92,10 +95,12 @@ class HyperAnalysisTransform(nn.Module):
 
 
 class HyperSynthesisTransform(nn.Module):
+    widths: tuple = (192, 256, 320)
+
     @nn.compact
     def __call__(self, z):
         for i, (filters, support, up) in enumerate(
-                [(192, 5, 2), (256, 5, 2), (320, 3, 1)]):
+                zip(self.widths, (5, 5, 3), (2, 2, 1))):
             z = SignalConv2D(
                 filters=filters, kernel_support=support, corr=False,
                 strides_up=up, padding="same_zeros", use_bias=True,
@@ -108,17 +113,18 @@ class SliceTransform(nn.Module):
     """Channel-conditional mean/scale/LRP predictor for one slice."""
 
     slice_depth: int
+    widths: tuple = (224, 128)
 
     @nn.compact
     def __call__(self, tensor):
         t = SignalConv2D(
-            filters=224, kernel_support=5, corr=False, strides_up=1,
-            padding="same_zeros", use_bias=True,
+            filters=self.widths[0], kernel_support=5, corr=False,
+            strides_up=1, padding="same_zeros", use_bias=True,
             kernel_parameter="variable", name="layer_0")(tensor)
         t = jax.nn.relu(t)
         t = SignalConv2D(
-            filters=128, kernel_support=5, corr=False, strides_up=1,
-            padding="same_zeros", use_bias=True,
+            filters=self.widths[1], kernel_support=5, corr=False,
+            strides_up=1, padding="same_zeros", use_bias=True,
             kernel_parameter="variable", name="layer_1")(t)
         t = jax.nn.relu(t)
         t = SignalConv2D(
@@ -138,6 +144,11 @@ class MS2020Model(nn.Module):
     num_scales: int = 64
     scale_min: float = 0.11
     scale_max: float = 256.0
+    # Transform widths (reference models/ms2020.py:96-158 constants),
+    # overridable so compact configs stay structurally identical.
+    ha_widths: tuple = (320, 256)
+    hs_widths: tuple = (192, 256, 320)
+    slice_widths: tuple = (224, 128)
 
     def setup(self):
         if self.latent_depth % self.num_slices:
@@ -146,17 +157,21 @@ class MS2020Model(nn.Module):
         self.analysis = AnalysisTransform(
             self.num_filters, self.latent_depth)
         self.synthesis = SynthesisTransform(self.num_filters)
-        self.hyper_analysis = HyperAnalysisTransform(self.hyperprior_depth)
-        self.hyper_synthesis_mean = HyperSynthesisTransform()
-        self.hyper_synthesis_scale = HyperSynthesisTransform()
+        self.hyper_analysis = HyperAnalysisTransform(
+            self.hyperprior_depth, self.ha_widths)
+        self.hyper_synthesis_mean = HyperSynthesisTransform(self.hs_widths)
+        self.hyper_synthesis_scale = HyperSynthesisTransform(self.hs_widths)
         self.cc_mean_transforms = [
-            SliceTransform(slice_depth, name=f"cc_mean_{i}")
+            SliceTransform(slice_depth, self.slice_widths,
+                           name=f"cc_mean_{i}")
             for i in range(self.num_slices)]
         self.cc_scale_transforms = [
-            SliceTransform(slice_depth, name=f"cc_scale_{i}")
+            SliceTransform(slice_depth, self.slice_widths,
+                           name=f"cc_scale_{i}")
             for i in range(self.num_slices)]
         self.lrp_transforms = [
-            SliceTransform(slice_depth, name=f"lrp_{i}")
+            SliceTransform(slice_depth, self.slice_widths,
+                           name=f"lrp_{i}")
             for i in range(self.num_slices)]
         self.hyperprior_params = self.param(
             "hyperprior",
@@ -297,8 +312,12 @@ class MS2020Codec:
         self.model = model
         self.params = params
         bound = model.bind(params)
+        # offset_heuristic=False matches the reference's table build
+        # (models/ms2020.py:323-326 passes it for em_z in fit() and
+        # training alike).
         self.em_z = ContinuousBatchedEntropyModel(
-            bound.hyperprior(), coding_rank=3, compression=True)
+            bound.hyperprior(), coding_rank=3, compression=True,
+            offset_heuristic=False)
         self.em_y = LocationScaleIndexedEntropyModel(
             uniform_noise.NoisyNormal, model.num_scales,
             make_scale_fn(model.scale_min, model.scale_max,

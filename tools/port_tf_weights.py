@@ -229,3 +229,62 @@ def extract_bls2017(analysis_convs, synthesis_convs, prior_base):
     for k, v in extract_deep_factorized(prior_base).items():
         tf_vars[f"prior/{k}"] = v
     return tf_vars
+
+
+def port_ms2020(tf_vars, num_slices=10):
+    """Flat reference-variable dict -> flax params for MS2020Model.
+
+    Reference architecture models/ms2020.py:54-161: 4-layer analysis/
+    synthesis with (I)GDN, 3-layer hyper-analysis (RDFT kernels), two
+    3-layer hyper-synthesis stacks and 3x num_slices SliceTransforms
+    (all with plain-variable kernels), DeepFactorized hyperprior.
+    """
+    params = {}
+    for side, gdn_name in (("analysis", "gdn"), ("synthesis", "igdn")):
+        sub = {}
+        for i in range(4):
+            sub[f"layer_{i}"] = _port_conv_entry(tf_vars, f"{side}/layer_{i}")
+        for i in range(3):
+            key = f"{side}/{gdn_name}_{i}"
+            sub[f"{gdn_name}_{i}"] = port_gdn(
+                tf_vars[f"{key}/beta"], tf_vars[f"{key}/gamma"])
+        params[side] = sub
+    for side in ("hyper_analysis", "hyper_synthesis_mean",
+                 "hyper_synthesis_scale"):
+        params[side] = {
+            f"layer_{i}": _port_conv_entry(tf_vars, f"{side}/layer_{i}")
+            for i in range(3)}
+    for grp in ("cc_mean", "cc_scale", "lrp"):
+        for s in range(num_slices):
+            params[f"{grp}_{s}"] = {
+                f"layer_{i}": _port_conv_entry(tf_vars, f"{grp}_{s}/layer_{i}")
+                for i in range(3)}
+    n_layers = len([k for k in tf_vars if k.startswith("prior/matrix_")])
+    params["hyperprior"] = port_deep_factorized(
+        [tf_vars[f"prior/matrix_{i}"] for i in range(n_layers)],
+        [tf_vars[f"prior/bias_{i}"] for i in range(n_layers)],
+        [tf_vars[f"prior/factor_{i}"] for i in range(n_layers - 1)])
+    return {"params": params}
+
+
+def extract_ms2020(analysis, synthesis, hyper_analysis,
+                   hyper_synthesis_mean, hyper_synthesis_scale,
+                   cc_mean, cc_scale, lrp, prior_base):
+    """Flattens reference ms2020 layer stacks into the dict
+    `port_ms2020` expects.  cc_mean/cc_scale/lrp are lists (one per
+    slice) of 3-conv lists."""
+    tf_vars = {}
+    extract_conv_stack(tf_vars, "analysis", analysis, "gdn")
+    extract_conv_stack(tf_vars, "synthesis", synthesis, "igdn")
+    extract_conv_stack(tf_vars, "hyper_analysis", hyper_analysis)
+    extract_conv_stack(tf_vars, "hyper_synthesis_mean",
+                       hyper_synthesis_mean)
+    extract_conv_stack(tf_vars, "hyper_synthesis_scale",
+                       hyper_synthesis_scale)
+    for grp, stacks in (("cc_mean", cc_mean), ("cc_scale", cc_scale),
+                        ("lrp", lrp)):
+        for s, convs in enumerate(stacks):
+            extract_conv_stack(tf_vars, f"{grp}_{s}", convs)
+    for k, v in extract_deep_factorized(prior_base).items():
+        tf_vars[f"prior/{k}"] = v
+    return tf_vars
