@@ -79,6 +79,10 @@ def main():
         record = {
             "devices": nN,
             "device_kind": devices[0].device_kind,
+            # Virtual CPU devices share one host thread pool: throughput
+            # cannot scale there, only byte determinism is meaningful.
+            # On a real pod slice each entry is a separate chip.
+            "virtual_mesh": devices[0].platform == "cpu",
             "encode_sym_per_s": {str(k): round(v[0], 1)
                                  for k, v in results.items()},
             "decode_sym_per_s": {str(k): round(v[1], 1)
