@@ -57,6 +57,18 @@ def make_workload():
     return table, symbols, cdf
 
 
+def _chain(x, acc):
+    """Value-neutral data dependency on the loop carry that XLA cannot
+    fold away (`acc & 0` folds to 0 and lets the compiler hoist the whole
+    iteration body out of the k-loop — observed: 7x-inflated 'marginal'
+    times).  acc never equals the sentinel, so x is returned unchanged,
+    but the compiler cannot prove it."""
+    import jax.numpy as jnp
+
+    bump = jnp.where(acc[:1, :1] == jnp.int32(-2147483647), 1, 0)
+    return x + bump.astype(x.dtype)
+
+
 def bench_tpu(table, symbols):
     import functools
 
@@ -108,7 +120,7 @@ def bench_tpu(table, symbols):
     @functools.partial(jax.jit, static_argnums=(1,))
     def enc_k(sym, k):
         def body(i, acc):
-            s = sym + (acc[:1, :1] & 0)
+            s = _chain(sym, acc)
             b, ln = encode(s)
             return acc + ln[:1, None] + b[:1, :1].astype(jnp.int32)
         return jax.lax.fori_loop(0, k, body,
@@ -117,7 +129,7 @@ def bench_tpu(table, symbols):
     @functools.partial(jax.jit, static_argnums=(2,))
     def dec_k(b, lens, k):
         def body(i, acc):
-            bi = b + (acc[:1, :1].astype(jnp.uint8) & 0)
+            bi = _chain(b, acc)
             sym, san = decode(bi, lens)
             return acc + sym[:1, :1] + san[:1].astype(jnp.int32)
         return jax.lax.fori_loop(0, k, body,
@@ -201,7 +213,7 @@ def bench_indexed():
     @functools.partial(jax.jit, static_argnums=(2,))
     def enc_k(sym, ix, k):
         def body(i, acc):
-            s = sym + (acc[:1, :1] & 0)
+            s = _chain(sym, acc)
             b, ln = jax_coder.encode_dispatch(s, dt, N, out_size, indexes=ix)
             return acc + ln[:1, None] + b[:1, :1].astype(jnp.int32)
         return jax.lax.fori_loop(0, k, body,
@@ -210,14 +222,17 @@ def bench_indexed():
     @functools.partial(jax.jit, static_argnums=(3,))
     def dec_k(src16, lens, ix, k):
         def body(i, acc):
-            b = src16 + (acc[:1, :1].astype(jnp.uint32) & 0)
+            b = _chain(src16, acc)
             sym, san = jax_coder.decode_dispatch(b, lens, N, dt, indexes=ix)
             return acc + sym[:1, :1] + san[:1].astype(jnp.int32)
         return jax.lax.fori_loop(0, k, body,
                                  jnp.zeros((1, 1), jnp.int32))[0, 0]
 
     def timed(fn, *args, k_lo=1, k_hi=5):
+        # Warm BOTH k variants (k is a static arg: each value is its own
+        # executable; timing an unwarmed k_lo would include its compile).
         np.asarray(fn(*args, k_hi))
+        np.asarray(fn(*args, k_lo))
         t0 = time.perf_counter()
         np.asarray(fn(*args, k_hi))
         t_hi = time.perf_counter() - t0
@@ -268,7 +283,7 @@ def bench_indexed():
     @functools.partial(jax.jit, static_argnums=(3,))
     def dec_side_k(src, lens, ix, k):
         def body(i, acc):
-            b = src + (acc[:1, :1].astype(jnp.uint32) & 0)
+            b = _chain(src, acc)
             sym, san = pallas_coder.decode_indexed_pallas(
                 b, lens, ix, N, dt, sub=sub, in_stream_gamma=False)
             return acc + sym[:1, :1] + san[:1].astype(jnp.int32)

@@ -25,6 +25,13 @@ PRECISION = 12
 ALPHABET = 256
 
 
+
+def chain(x, acc):
+    """Value-neutral iteration dependency XLA cannot fold away (acc & 0
+    folds to 0 and the loop body hoists; acc never hits the sentinel)."""
+    bump = jnp.where(acc[:1, :1] == jnp.int32(-2147483647), 1, 0)
+    return x + bump.astype(x.dtype)
+
 def fetch_time(fn, *args):
     """One call, result fetched: total wall including tunnel latency."""
     out = fn(*args)          # warm compile
@@ -52,7 +59,7 @@ def main():
     @partial(jax.jit, static_argnums=(1,))
     def enc_k(sym, k):
         def body(i, acc):
-            s = sym + (acc[:1, :1] & 0)  # iteration dependency, no-op value
+            s = chain(sym, acc)  # iteration dependency, value-neutral
             buf, lengths = pallas_coder.encode_single_row_device(
                 s, cdf_row, PRECISION, out_size, sub=8)
             # Depend on BOTH outputs so the byte finalize isn't DCE'd.
@@ -82,7 +89,7 @@ def main():
                  | b[:, 1::2].astype(jnp.uint32))
 
         def body(i, acc):
-            s16 = src16 + (acc[:1, :1].astype(jnp.uint32) & 0)
+            s16 = chain(src16, acc)
             sym, san = pallas_coder.decode_scan_pallas_v2(
                 s16, lens, NUM_ELEMENTS, cdf_row, PRECISION, sub=16)
             return acc + sym[:1, :1]
