@@ -719,6 +719,8 @@ def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
         # ~128 KB per step and was measured ~6x slower end to end.
         win_ref = scratch[0] if any_overflow else None
         b16_ref = scratch[1] if any_overflow else None
+        la_ref = scratch[2] if any_overflow else None
+        labase_ref = scratch[3] if any_overflow else None
 
         def u2f(x):
             hi = (x >> 16).astype(jnp.int32).astype(jnp.float32)
@@ -799,6 +801,41 @@ def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
             jax.lax.cond(need, lambda: pull_to_scratch(chunks_read),
                          lambda: None)
 
+        # --- 4-chunk register lookahead for the gamma bit loop ---------
+        # Each precision-1 binary decode consumes at most one chunk, so a
+        # 4-position lookahead re-filled every <=4 consumed chunks turns
+        # the per-bit source fetch from a 32-row select tree into a
+        # 3-select pick; the window pull slack (28) guarantees the four
+        # positions always sit inside the 32-chunk scratch window.
+
+        def la_refill(chunks_read):
+            need = jnp.any((chunks_read - b16_ref[0]) >= 28)
+            jax.lax.cond(need, lambda: pull_to_scratch(chunks_read),
+                         lambda: None)
+            # Combined 4-position extraction: one select tree whose
+            # levels keep 3 extra entries, yielding window values at
+            # offs..offs+3 in 46 selects (vs 4 independent 31-select
+            # fetches).  The 28-slack above bounds offs <= 27, so
+            # offs+3 <= 30 stays inside the 32-row window and the
+            # min-clamped reads are never selected.
+            offs = chunks_read - b16_ref[0]
+            lvl = [win_ref[j] for j in range(32)]
+            for bit, n in ((16, 19), (8, 11), (4, 7), (2, 5), (1, 4)):
+                m = (offs & bit) != 0
+                top = len(lvl) - 1
+                lvl = [jnp.where(m, lvl[min(i + bit, top)], lvl[i])
+                       for i in range(n)]
+            for j in range(4):
+                la_ref[j] = lvl[j]
+            labase_ref[0] = chunks_read
+
+        def fetch_la(chunks_read):
+            offs = chunks_read - labase_ref[0]
+            c01 = jnp.where(offs & 1 != 0, la_ref[1], la_ref[0])
+            c23 = jnp.where(offs & 1 != 0, la_ref[3], la_ref[2])
+            return jnp.where(
+                offs & 2 != 0, c23, c01).astype(jnp.uint32)
+
         def fetch(win, chunks_read):
             if win is None:
                 rows = [win_ref[j] for j in range(32)]
@@ -850,8 +887,26 @@ def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
                           jnp.where(ok(t0 + 1), t0 + 1, t0 + 2)))
             return jnp.where(thr > 1, thr, jnp.uint32(1))
 
-        def dec_bin(state, win, mask):
-            """One bit with the binary uniform CDF {0,1,2} at precision 1."""
+        def refine_la(state, a, b, mask):
+            """refine() with the 4-chunk lookahead as the source fetch."""
+            base, sm1, value, chunks_read = state
+            nbse = base + a
+            ns = b - a
+            renorm = ((ns >> 16) == 0) & mask
+            chunk = fetch_la(chunks_read)
+            base = jnp.where(mask, jnp.where(renorm, nbse << 16, nbse),
+                             base)
+            sm1 = jnp.where(
+                mask, jnp.where(renorm, (ns << 16) | 0xFFFF, ns), sm1)
+            value = jnp.where(renorm, (value << 16) | chunk, value)
+            chunks_read = chunks_read + jnp.where(renorm, 1, 0)
+            return base, sm1, value, chunks_read
+
+        def dec_bin(state, mask):
+            """One bit with the binary uniform CDF {0,1,2} at precision 1.
+
+            Gamma-loop only: sources its renorm chunk from the lookahead
+            (callers keep it live via la_ensure)."""
             base, sm1, value, _ = state
             vb1 = (value - base) + jnp.uint32(1)
             wrapped = vb1 == 0
@@ -861,31 +916,46 @@ def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
             rhs_hi = (rhs_lo == 0).astype(jnp.uint32)
             ge = (rhs_hi > lb_hi) | ((rhs_hi == lb_hi) & (rhs_lo >= lb_lo))
             bit = jnp.where(ge, jnp.uint32(0), jnp.uint32(1))
-            a = mul_shift1(sm1, bit)
-            b = mul_shift1(sm1, bit + 1) - 1
-            state = refine(state, win, a, b, mask)
+            # Closed forms of mul_shift1(sm1, v) for v in {0, 1, 2}:
+            # v=1 -> (sm1+1)/2 with the 2^32 wrap mapping to 2^31;
+            # v=2 -> sm1+1 (exact in u32, wrap included).
+            s1 = rhs_lo
+            a1 = jnp.where(s1 == 0, jnp.uint32(1) << 31, s1 >> 1)
+            a = jnp.where(bit != 0, a1, jnp.uint32(0))
+            b = jnp.where(bit != 0, sm1, a1 - 1)
+            state = refine_la(state, a, b, mask)
             return state, bit
 
         def gamma_decode(state, active):
             """Masked Elias-gamma magnitude + sign (OverflowDecode).
 
-            Scratch-window variant: the source window is re-pulled into
-            win_ref as needed; the while loops carry only the coder
-            state.  Loop masks are carried as int32 0/1 (Mosaic cannot
-            legalize i1 vectors in scf.yield region boundaries).
+            Scratch-window variant: the bit loops source chunks from the
+            4-chunk lookahead (refilled from the scratch window every <=4
+            consumed chunks), so the while loops carry only the coder
+            state and each bit costs a 3-select fetch.  Loop masks are
+            carried as int32 0/1 (Mosaic cannot legalize i1 vectors in
+            scf.yield region boundaries).
             """
+            # Four bits per while iteration: masked sub-steps are no-ops
+            # for finished lanes, so over-decoding is harmless, and the
+            # scalar `any` reduce + scf.while region crossing (the real
+            # per-bit cost — each stalls the vector pipeline) amortize
+            # over 4 bits.  la_refill at each body start restores offs=0,
+            # so 4 sub-steps stay inside the 4-chunk lookahead.
+            UNROLL = 4
 
             def ucond(c):
                 return jnp.any(c[1] != 0)
 
             def ubody(c):
                 state, act_i, n = c
-                act = act_i != 0
-                ensure_s(state[3])
-                state, bit = dec_bin(state, None, act)
-                cont = act & (bit == 0)
-                n = n + jnp.where(cont, 1, 0).astype(jnp.uint32)
-                act_i = jnp.where(cont & (n < 31), 1, 0)
+                la_refill(state[3])
+                for _ in range(UNROLL):
+                    act = act_i != 0
+                    state, bit = dec_bin(state, act)
+                    cont = act & (bit == 0)
+                    n = n + jnp.where(cont, 1, 0).astype(jnp.uint32)
+                    act_i = jnp.where(cont & (n < 31), 1, 0)
                 return state, act_i, n
 
             n0 = jnp.zeros((sub, 128), jnp.uint32)
@@ -901,17 +971,18 @@ def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
 
             def bbody(c):
                 state, k, gval = c
-                act = k > 0
-                ensure_s(state[3])
-                state, bit = dec_bin(state, None, act)
-                gval = jnp.where(act, gval | (bit << (k - 1)), gval)
-                k = jnp.where(act, k - 1, k)
+                la_refill(state[3])
+                for _ in range(UNROLL):
+                    act = k > 0
+                    state, bit = dec_bin(state, act)
+                    gval = jnp.where(act, gval | (bit << (k - 1)), gval)
+                    k = jnp.where(act, k - 1, k)
                 return state, k, gval
 
             state, _, gval = jax.lax.while_loop(
                 bcond, bbody, (state, k0, gval))
-            ensure_s(state[3])
-            state, sign = dec_bin(state, None, active)
+            la_refill(state[3])
+            state, sign = dec_bin(state, active)
             return state, gval, sign
 
         all_true = jnp.ones((sub, 128), bool)
@@ -1145,6 +1216,8 @@ def _decode_indexed_call(src16, byte_lens, indexes, w_packed, meta,
         ],
         scratch_shapes=(
             [pltpu.VMEM((32, sub, 128), jnp.int32),
+             pltpu.VMEM((1, sub, 128), jnp.int32),
+             pltpu.VMEM((4, sub, 128), jnp.int32),
              pltpu.VMEM((1, sub, 128), jnp.int32)]
             if any_overflow else []),
     )(src_t, len2, idx_t, w_packed, meta)

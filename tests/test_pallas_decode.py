@@ -194,6 +194,8 @@ def test_decode_kernel_indexed_matches_oracle(n_elements, any_overflow,
         sym_blk = np.zeros((N, sub, 128), np.int32)
         san_blk = np.zeros((sub, 128), np.int32)
         scratch = ([_FakeRef(np.zeros((32, sub, 128), np.int32)),
+                    _FakeRef(np.zeros((1, sub, 128), np.int32)),
+                    _FakeRef(np.zeros((4, sub, 128), np.int32)),
                     _FakeRef(np.zeros((1, sub, 128), np.int32))]
                    if any_overflow else [])
         kernel(_FakeRef(src_t[:, blk]),
