@@ -1067,13 +1067,18 @@ def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
                                      16 * seg_count + k)
             base, sm1, value, chunks_read = carry
         else:
-            def step(t, carry):
-                ensure_s(carry[3])
+            def one_step(carry, t):
                 state, sym, mv, ovf_r = search(carry, idx_ref[t], None)
                 esc = ovf_r & (sym == mv)
 
                 def do_gamma():
                     st2, gval, gsign = gamma_decode(state, esc)
+                    # Restore the slack-UN window invariant for the
+                    # remaining unrolled steps of this segment.
+                    need = jnp.any((st2[3] - b16_ref[0]) >= 28)
+                    jax.lax.cond(need,
+                                 lambda: pull_to_scratch(st2[3]),
+                                 lambda: None)
                     gv = gval.astype(jnp.int32)
                     s2 = jnp.where(
                         esc, jnp.where(gsign == 1, -gv, gv + mv - 1), sym)
@@ -1082,16 +1087,35 @@ def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
                 def skip():
                     return state, sym
 
-                state2, sym = jax.lax.cond(jnp.any(esc), do_gamma, skip)
-                sym_ref[t] = sym
+                state2, sym2 = jax.lax.cond(jnp.any(esc), do_gamma, skip)
+                sym_ref[t] = sym2
                 return state2
+
+            # Four symbols per window-ensure: each search consumes at
+            # most one chunk, so a slack-4 check (offs >= 28) once per
+            # segment bounds every in-segment fetch at offs <= 31; a
+            # gamma step restores the invariant itself (above).  Halves
+            # the per-symbol scalar reduces vs a per-step ensure.
+            UN = 4
+            seg_count = num_symbols // UN
+
+            def body(si, carry):
+                need = jnp.any((carry[3] - b16_ref[0]) >= 32 - UN)
+                jax.lax.cond(need, lambda: pull_to_scratch(carry[3]),
+                             lambda: None)
+                for k in range(UN):
+                    carry = one_step(carry, si * UN + k)
+                return carry
 
             pull_to_scratch(chunks0)
             carry = (jnp.zeros_like(value0),
                      jnp.full_like(value0, _MASK32),
                      value0,
                      chunks0)
-            carry = jax.lax.fori_loop(0, num_symbols, step, carry)
+            carry = jax.lax.fori_loop(0, seg_count, body, carry)
+            for t in range(UN * seg_count, num_symbols):
+                ensure_s(carry[3])
+                carry = one_step(carry, t)
             base, sm1, value, chunks_read = carry
 
         # Weak decoder sanity (RangeDecoder::Finalize), int32 select form.
