@@ -953,6 +953,7 @@ def encode_streams(symbols, table, indexes=None) -> tuple[np.ndarray, np.ndarray
     total = count.sum(axis=1).max() if count.size else 0
     num_steps = max(int(_round_up(max(int(total), 1), 64)), 64)
     out_size = _round_up(2 * num_steps + 2, 4)
+    DISPATCH_LOG["encode"] = encode_path(table, n, num_steps, slots)
 
     buf, lengths = _encode_streams_jit(
         jnp.asarray(symbols), jnp.asarray(indexes), table, slots,
@@ -998,6 +999,39 @@ def _pallas_encode_indexed_applicable(table) -> bool:
     return total_pairs <= 16384 and int(table.num_rows) <= 4096
 
 
+def encode_path(table, n, num_steps, slots=1) -> str:
+    """Name of the encode path dispatch will take for this call.
+
+    Authoritative: ``encode_dispatch`` branches on this same function, so
+    external gates (verify_tpu.py) can assert on it without duplicating
+    the predicates.  ``slots`` is the per-symbol micro-op budget computed
+    by the host wrapper (escapes => slots > 1 => XLA micro-op path).
+    """
+    if slots != 1:
+        return "xla"
+    if _pallas_encode_applicable(table) and num_steps >= n:
+        return "pallas-single"
+    if _pallas_encode_indexed_applicable(table) and num_steps >= n:
+        return "pallas-indexed"
+    return "xla"
+
+
+def decode_path(table, num_elements, nchunks, channel_mode=True,
+                in_stream_gamma=None) -> str:
+    """Name of the decode path dispatch will take (see encode_path)."""
+    if channel_mode and _pallas_decode_applicable(table):
+        return "pallas-single"
+    sub = _indexed_kernel_sub(num_elements, nchunks)
+    if _pallas_indexed_applicable(table, in_stream_gamma) and sub is not None:
+        return "pallas-indexed"
+    return "xla"
+
+
+#: Last path chosen by each host-level entry point ("encode", "decode",
+#: "decode_sidecar") — written on every call, including jit-cache hits.
+DISPATCH_LOG: dict = {}
+
+
 def encode_dispatch(symbols, table, num_steps, out_size, indexes=None):
     """Traced encode entry point: fused Pallas kernels when applicable, the
     micro-op expansion + scan otherwise.
@@ -1011,8 +1045,9 @@ def encode_dispatch(symbols, table, num_steps, out_size, indexes=None):
     num_streams, n = symbols.shape
     sub = 8
     pad = (-num_streams) % (sub * 128)
+    path = encode_path(table, n, num_steps)
 
-    if _pallas_encode_applicable(table) and num_steps >= n:
+    if path == "pallas-single":
         from compression_tpu.codec import pallas_coder
 
         sym_p = jnp.pad(symbols, ((0, pad), (0, 0))) if pad else symbols
@@ -1021,7 +1056,7 @@ def encode_dispatch(symbols, table, num_steps, out_size, indexes=None):
             sym_p, cdf_row, int(table.host.precision[0]), out_size, sub=sub)
         return buf[:num_streams], lengths[:num_streams]
 
-    if _pallas_encode_indexed_applicable(table) and num_steps >= n:
+    if path == "pallas-indexed":
         from compression_tpu.codec import pallas_coder
 
         if indexes is None:
@@ -1102,6 +1137,7 @@ def encode_streams_sidecar(symbols, table, indexes=None):
     # single-slot path emits no gamma ops).
     num_steps = max(int(_round_up(max(n, 1), 64)), 64)
     out_size = _round_up(2 * num_steps + 2, 4)
+    DISPATCH_LOG["encode"] = encode_path(table, n, num_steps, 1)
     buf, lengths = _encode_streams_jit(
         jnp.asarray(symbols), jnp.asarray(indexes), table, 1, num_steps,
         out_size)
@@ -1124,8 +1160,10 @@ def decode_streams_sidecar(byte_buf, byte_lens, num_elements, table,
     indexes = np.asarray(indexes, np.int32)
 
     sub = _indexed_kernel_sub(num_elements, np.asarray(src16).shape[1])
-    if _pallas_indexed_applicable(table, in_stream_gamma=False) \
-            and sub is not None:
+    path = decode_path(table, num_elements, np.asarray(src16).shape[1],
+                       channel_mode=False, in_stream_gamma=False)
+    DISPATCH_LOG["decode_sidecar"] = path
+    if path == "pallas-indexed":
         from compression_tpu.codec import pallas_coder
 
         pad = (-num_streams) % (sub * 128)
@@ -1238,8 +1276,10 @@ def decode_dispatch(src16, byte_lens, num_elements, table, indexes=None):
     (element j uses row ``j % num_rows``).
     """
     num_streams = src16.shape[0]
+    path = decode_path(table, num_elements, src16.shape[1],
+                       channel_mode=indexes is None)
 
-    if indexes is None and _pallas_decode_applicable(table):
+    if path == "pallas-single":
         from compression_tpu.codec import pallas_coder
 
         sub = 16
@@ -1258,7 +1298,7 @@ def decode_dispatch(src16, byte_lens, num_elements, table, indexes=None):
             (num_streams, num_elements))
 
     sub = _indexed_kernel_sub(num_elements, src16.shape[1])
-    if _pallas_indexed_applicable(table) and sub is not None:
+    if path == "pallas-indexed":
         from compression_tpu.codec import pallas_coder
 
         pad = (-num_streams) % (sub * 128)
@@ -1285,6 +1325,9 @@ def decode_streams(byte_buf, byte_lens, num_elements, table, indexes=None):
     byte_lens = np.asarray(byte_lens, np.int32)
     num_streams = np.asarray(byte_buf).shape[0]
     src16 = bytes_to_chunks(byte_buf, byte_lens)
+    DISPATCH_LOG["decode"] = decode_path(
+        table, int(num_elements), np.asarray(src16).shape[1],
+        channel_mode=indexes is None)
     symbols, sanity = decode_dispatch(
         jnp.asarray(src16), jnp.asarray(byte_lens), int(num_elements),
         table,

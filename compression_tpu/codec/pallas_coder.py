@@ -833,8 +833,15 @@ def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
             offs = chunks_read - labase_ref[0]
             c01 = jnp.where(offs & 1 != 0, la_ref[1], la_ref[0])
             c23 = jnp.where(offs & 1 != 0, la_ref[3], la_ref[2])
+            # Mirror fetch()'s past-window clamp: a lane whose
+            # chunks_read ran past its stream (padded lanes after the
+            # bucket clamp in pull_window) must read 0, not wrapped
+            # stale tail chunks, so its sanity/symbols stay aligned
+            # with the CPU oracle even before the [:num_streams] slice.
+            ovf = (chunks_read - b16_ref[0]) >= 32
             return jnp.where(
-                offs & 2 != 0, c23, c01).astype(jnp.uint32)
+                ovf, 0,
+                jnp.where(offs & 2 != 0, c23, c01)).astype(jnp.uint32)
 
         def fetch(win, chunks_read):
             if win is None:
@@ -906,7 +913,7 @@ def _make_decode_kernel_indexed(num_symbols, parts_b, parts_r, bs_iters,
             """One bit with the binary uniform CDF {0,1,2} at precision 1.
 
             Gamma-loop only: sources its renorm chunk from the lookahead
-            (callers keep it live via la_ensure)."""
+            (callers keep it live via la_refill)."""
             base, sm1, value, _ = state
             vb1 = (value - base) + jnp.uint32(1)
             wrapped = vb1 == 0

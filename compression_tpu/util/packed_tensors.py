@@ -241,6 +241,27 @@ class PackedTensors:
             del self._features[chr(i + 1)]
             i += 1
 
+    def unpack_raw(self):
+        """Unpacks all features in order without a dtype spec.
+
+        Bytes features come back as list[bytes]; int features as int64
+        arrays; float features as float32 arrays.  The introspective
+        analog of the reference tfci 'tensors' subcommand
+        (reference models/tfci.py:204-216).
+        """
+        out = []
+        i = 1
+        while chr(i) in self._features:
+            kind, values = self._features[chr(i)]
+            if kind == "bytes":
+                out.append(list(values))
+            elif kind == "int64":
+                out.append(np.asarray(values, np.int64))
+            else:
+                out.append(np.asarray(values, np.float32))
+            i += 1
+        return out
+
     def unpack(self, dtypes):
         """Unpacks values given a list of numpy dtypes (or 'bytes')."""
         tensors = []

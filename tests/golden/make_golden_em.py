@@ -204,12 +204,51 @@ def fixture_universal_batched():
           f"{[int(b) for b in OUT['unb__nbytes']]}")
 
 
+def fixture_universal_indexed():
+    """UniversalIndexedEntropyModel with 2-D index ranges: the
+    offset-index leading CDF dimension composed with a multi-dim index
+    grid (reference universal.py:302-603) — the one EM config VERDICT r2
+    flagged as not golden-pinned."""
+    rng = np.random.RandomState(23)
+    index_ranges = (3, 5)
+    parameter_fns = {
+        "loc": lambda i: (i[..., 0] - 1.0) / 2.,
+        "scale": lambda i: tf.exp(i[..., 1] - 1.5),
+    }
+    em = ns.universal.UniversalIndexedEntropyModel(
+        ns.uniform_noise.NoisyNormal, index_ranges, parameter_fns,
+        coding_rank=2, compression=True, bottleneck_dtype=tf.float32)
+    OUT["uni__index_ranges"] = np.asarray(index_ranges, np.int32)
+    OUT["uni__cdf"] = em.cdf.numpy()
+    OUT["uni__cdf_offset"] = em.cdf_offset.numpy()
+
+    shape = (2, 80)
+    idx = np.stack([rng.randint(0, index_ranges[0], shape),
+                    rng.randint(0, index_ranges[1], shape)],
+                   axis=-1).astype(np.float32)
+    loc = (idx[..., 0] - 1.0) / 2.
+    scale = np.exp(idx[..., 1] - 1.5)
+    x = (loc + rng.normal(0, 1, shape) * np.minimum(scale, 8)
+         ).astype(np.float32)
+    OUT["uni__indexes"] = idx
+    OUT["uni__x"] = x
+    strings = em.compress(tf.constant(x), idx)
+    save_strings("uni", strings)
+    xhat = em.decompress(strings, idx)
+    OUT["uni__xhat"] = xhat.numpy()
+    _, bits = em(tf.constant(x), idx, training=False)
+    OUT["uni__bits"] = bits.numpy()
+    print(f"uni: cdf {em.cdf.shape}, strings "
+          f"{[int(b) for b in OUT['uni__nbytes']]}")
+
+
 def main():
     fixture_deep_factorized_batched()
     fixture_noisy_normal_batched()
     fixture_location_scale_indexed()
     fixture_continuous_indexed_2d()
     fixture_universal_batched()
+    fixture_universal_indexed()
     np.savez_compressed("golden_em.npz", **OUT)
     print("saved golden_em.npz")
 

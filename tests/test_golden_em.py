@@ -225,3 +225,45 @@ class TestUniversalBatched:
         assert mine == get_strings(gold, "unb")
         xhat = np.asarray(em.decompress(get_strings(gold, "unb"), (4, 6)))
         assert np.array_equal(xhat, gold["unb__xhat"])
+
+
+class TestUniversalIndexedGolden:
+    """UniversalIndexed: dither-offset leading CDF dim x 2-D index grid
+    (reference universal.py:302-603) — the config VERDICT r2 item 7
+    asked to golden-pin."""
+
+    def make_em(self, gold):
+        from compression_tpu.entropy_models import (
+            UniversalIndexedEntropyModel)
+        parameter_fns = {
+            "loc": lambda i: (i[..., 0] - 1.0) / 2.,
+            "scale": lambda i: jnp.exp(i[..., 1] - 1.5),
+        }
+        return UniversalIndexedEntropyModel(
+            dist.NoisyNormal, tuple(gold["uni__index_ranges"]),
+            parameter_fns, coding_rank=2, compression=True)
+
+    def test_tables(self, gold):
+        if "uni__cdf" not in gold:
+            pytest.skip("fixture predates the uni config")
+        em = self.make_em(gold)
+        check_tables(em, gold, "uni")
+
+    def test_byte_parity_both_ways(self, gold):
+        if "uni__cdf" not in gold:
+            pytest.skip("fixture predates the uni config")
+        em = self.make_em(gold)
+        idx = jnp.asarray(gold["uni__indexes"])
+        mine = em.compress_to_strings(jnp.asarray(gold["uni__x"]), idx)
+        assert mine == get_strings(gold, "uni")
+        xhat = np.asarray(em.decompress(get_strings(gold, "uni"), idx))
+        np.testing.assert_allclose(xhat, gold["uni__xhat"], atol=1e-5)
+
+    def test_eval_bits(self, gold):
+        if "uni__cdf" not in gold:
+            pytest.skip("fixture predates the uni config")
+        em = self.make_em(gold)
+        _, bits = em(jnp.asarray(gold["uni__x"]),
+                     jnp.asarray(gold["uni__indexes"]), training=False)
+        np.testing.assert_allclose(
+            np.asarray(bits), gold["uni__bits"], rtol=1e-4)

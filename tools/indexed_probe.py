@@ -65,8 +65,6 @@ def main():
 
     enc = host.encode_streams if host.available() else stream.encode_streams
 
-    sub = jax_coder._indexed_kernel_sub(N, 1)  # refined below per case
-
     def prep(sym):
         strings = enc(sym, table, idx)
         buf, lens = jax_coder.from_bytes_list(strings)

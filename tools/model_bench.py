@@ -1,0 +1,189 @@
+"""Model-level TPU benchmark: images/s for compress and decompress of
+bls2017 / bmshj2018 / ms2020 at paper-scale configs on one chip.
+
+Three paths per model (VERDICT r2 item 2):
+  * classic  — the .tfci-compatible container path (host wrapper drives
+    the coder dispatch; transforms jitted separately): what a reference
+    user gets after switching.
+  * device   — single-jit compress/decompress: transforms AND entropy
+    coding inside ONE XLA program (the design answer to the reference's
+    ~20 host<->device crossings per ms2020 image, reference
+    models/ms2020.py:391-430 / SURVEY §3.5).
+  * native   — the TPU-native multi-stream + escape-sidecar container.
+
+Also reports transform-only time (analysis / synthesis, device-side
+k-loop timing) so the coder share of each path is visible.
+
+Weights are random-init (seed 0): throughput here is shape-driven
+(transform FLOPs + latent stream geometry), not content-driven; the
+bench notes the escape regime that results.  Timing is median of
+`repeats` wall-clock runs after a warm-up call, with min/max spread —
+wall clock is the user-experienced latency (container bytes in, image
+out), which includes the host<->device tunnel.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+
+import numpy as np
+
+
+def _median_spread(fn, repeats):
+    """Runs fn repeats times (plus one warm-up) -> dict of ms stats."""
+    fn()  # warm-up: compile + caches
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    ts = np.asarray(ts)
+    return {"median_ms": round(float(np.median(ts)) * 1e3, 2),
+            "min_ms": round(float(ts.min()) * 1e3, 2),
+            "max_ms": round(float(ts.max()) * 1e3, 2)}
+
+
+def _device_loop_ms(fn_k, repeats=3, k_lo=1, k_hi=5):
+    """Device-side k-loop marginal time in ms (see tools/device_time.py)."""
+    ts = []
+    np.asarray(fn_k(k_hi))  # warm both k variants
+    np.asarray(fn_k(k_lo))
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(fn_k(k_hi))
+        t_hi = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(fn_k(k_lo))
+        t_lo = time.perf_counter() - t0
+        ts.append((t_hi - t_lo) / (k_hi - k_lo))
+    return round(float(np.median(ts)) * 1e3, 2)
+
+
+def _transform_times(codec, x8, repeats=3):
+    """Analysis/synthesis marginal device time via a chained k-loop."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    model, params = codec.model, codec.params
+    x = jnp.asarray(x8, jnp.float32)[None]
+    cls = type(model)
+
+    def chain(t, acc):
+        bump = jnp.where(acc[:1] == jnp.int32(-2147483647), 1, 0)
+        return t + bump.astype(t.dtype)
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def ana_k(params, x, k):
+        def body(i, acc):
+            y = model.apply(params, chain(x, acc), method=cls.encode)
+            return acc + y.reshape(-1)[:1].astype(jnp.int32)
+        return jax.lax.fori_loop(0, k, body, jnp.zeros((1,), jnp.int32))
+
+    y = model.apply(params, x, method=cls.encode)
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def syn_k(params, y, k):
+        def body(i, acc):
+            xh = model.apply(params, chain(y, acc), method=cls.decode)
+            return acc + xh.reshape(-1)[:1].astype(jnp.int32)
+        return jax.lax.fori_loop(0, k, body, jnp.zeros((1,), jnp.int32))
+
+    return {"analysis_ms": _device_loop_ms(
+                lambda k: ana_k(params, x, k), repeats=repeats),
+            "synthesis_ms": _device_loop_ms(
+                lambda k: syn_k(params, y, k), repeats=repeats)}
+
+
+def _build(name, size):
+    import jax
+    import jax.numpy as jnp
+
+    if name == "bls2017":
+        from compression_tpu.models import bls2017 as m
+        model = m.BLS2017Model(lmbda=0.01, num_filters=128)
+        codec_cls = m.BLS2017Codec
+    elif name == "bmshj2018":
+        from compression_tpu.models import bmshj2018 as m
+        model = m.BMSHJ2018Model(lmbda=0.01, num_filters=192)
+        codec_cls = m.BMSHJ2018Codec
+    elif name == "ms2020":
+        from compression_tpu.models import ms2020 as m
+        model = m.MS2020Model(lmbda=0.01)  # paper scale by default
+        codec_cls = m.MS2020Codec
+    else:
+        raise ValueError(name)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, size, size, 3)), training=False)
+    return codec_cls(model, params)
+
+
+def bench_model(name, size=512, repeats=5):
+    codec = _build(name, size)
+    rng = np.random.RandomState(7)
+    x8 = rng.randint(0, 256, (size, size, 3)).astype(np.uint8)
+
+    rows = {"image": f"{size}x{size}", "weights": "random-init seed 0"}
+
+    container = codec.compress(x8)
+    rows["classic_bytes"] = len(container)
+    rows["classic_compress"] = _median_spread(
+        lambda: codec.compress(x8), repeats)
+    rows["classic_decompress"] = _median_spread(
+        lambda: codec.decompress(container), repeats)
+    # Round-trip contract while we're here.
+    assert np.array_equal(codec.decompress(container),
+                          codec.reconstruct(x8)), f"{name} classic roundtrip"
+
+    if hasattr(codec, "compress_on_device"):
+        dev_container = codec.compress_on_device(x8)
+        assert codec.decompress(dev_container) is not None
+        rows["device_compress"] = _median_spread(
+            lambda: codec.compress_on_device(x8), repeats)
+        rows["device_decompress"] = _median_spread(
+            lambda: codec.decompress_on_device(container), repeats)
+        assert np.array_equal(codec.decompress_on_device(container),
+                              codec.decompress(container)), \
+            f"{name} device decode parity"
+
+    native = codec.compress_native(x8)
+    rows["native_bytes"] = len(native)
+    rows["native_compress"] = _median_spread(
+        lambda: codec.compress_native(x8), repeats)
+    rows["native_decompress"] = _median_spread(
+        lambda: codec.decompress(native), repeats)
+    assert np.array_equal(codec.decompress(native),
+                          codec.reconstruct(x8)), f"{name} native roundtrip"
+
+    rows["transform"] = _transform_times(codec, x8)
+    for key in list(rows):
+        if isinstance(rows[key], dict) and "median_ms" in rows[key]:
+            rows[key]["images_per_s"] = round(
+                1e3 / rows[key]["median_ms"], 2)
+    return rows
+
+
+def bench_all(size=512, repeats=5, models=("bls2017", "bmshj2018",
+                                           "ms2020")):
+    out = {}
+    for name in models:
+        t0 = time.time()
+        try:
+            out[name] = bench_model(name, size=size, repeats=repeats)
+            out[name]["total_bench_s"] = round(time.time() - t0, 1)
+        except Exception as e:  # noqa: BLE001 — report, keep benching
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(f"model bench {name}: {out[name]}", file=sys.stderr,
+              flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    import json
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    print(json.dumps(bench_all(size=size), indent=1))

@@ -79,34 +79,27 @@ def check_case(name, table, symbols, indexes=None, expect_enc=None,
                expect_dec=None):
     """Byte parity + decode of oracle bytes, with path assertions."""
     t0 = time.time()
-    dt = jax_coder.DeviceCdfTable(table)
     n = symbols.shape[1]
-
-    # The fused encoders only serve escape-free data (the host wrapper
-    # computes the micro-op budget from the data; escapes => slots>1 =>
-    # XLA micro-op path), so path prediction must look at the data too.
-    idx_np = (np.asarray(indexes) if indexes is not None
-              else np.broadcast_to(
-                  np.arange(n, dtype=np.int32) % int(dt.num_rows),
-                  symbols.shape))
-    mv = table.length[idx_np] - 2
-    has_esc = bool(np.any(table.overflow[idx_np]
-                          & ((symbols < 0) | (symbols >= mv))))
-    enc_path = ("pallas-single"
-                if jax_coder._pallas_encode_applicable(dt) and not has_esc
-                else "pallas-indexed"
-                if (jax_coder._pallas_encode_indexed_applicable(dt)
-                    and not has_esc)
-                else "xla")
-    sub = jax_coder._indexed_kernel_sub(n, 2 * n)
-    dec_path = ("pallas-single"
-                if indexes is None and jax_coder._pallas_decode_applicable(dt)
-                else "pallas-indexed"
-                if (jax_coder._pallas_indexed_applicable(dt)
-                    and sub is not None)
-                else "xla")
     on_tpu = jax.default_backend() == "tpu"
+    enc_path = dec_path = "?"
     try:
+        oracle = stream.encode_streams(symbols, table, indexes)
+
+        buf, lengths = jax_coder.encode_streams(symbols, table, indexes)
+        # The coder REPORTS the path it dispatched (jax_coder.encode_path
+        # is the single source of truth — no duplicated predicates here).
+        enc_path = jax_coder.DISPATCH_LOG.get("encode", "?")
+        mine = jax_coder.to_bytes_list(buf, lengths)
+        assert mine == oracle, "encoded bytes differ from oracle"
+
+        # Decode the ORACLE bytes (not our own): asymmetric check.
+        byte_buf, byte_lens = jax_coder.from_bytes_list(oracle)
+        out, sanity = jax_coder.decode_streams(
+            byte_buf, byte_lens, n, table, indexes)
+        dec_path = jax_coder.DISPATCH_LOG.get("decode", "?")
+        assert np.array_equal(out, symbols), "decoded symbols differ"
+        assert np.asarray(sanity).all(), "sanity flag not set"
+
         # Path expectations only hold on the real backend (--allow-cpu
         # debugging exercises the XLA fallback everywhere).
         if expect_enc is not None and on_tpu:
@@ -115,19 +108,6 @@ def check_case(name, table, symbols, indexes=None, expect_enc=None,
         if expect_dec is not None and on_tpu:
             assert dec_path == expect_dec, \
                 f"decode path {dec_path} != expected {expect_dec}"
-
-        oracle = stream.encode_streams(symbols, table, indexes)
-
-        buf, lengths = jax_coder.encode_streams(symbols, table, indexes)
-        mine = jax_coder.to_bytes_list(buf, lengths)
-        assert mine == oracle, "encoded bytes differ from oracle"
-
-        # Decode the ORACLE bytes (not our own): asymmetric check.
-        byte_buf, byte_lens = jax_coder.from_bytes_list(oracle)
-        out, sanity = jax_coder.decode_streams(
-            byte_buf, byte_lens, n, table, indexes)
-        assert np.array_equal(out, symbols), "decoded symbols differ"
-        assert np.asarray(sanity).all(), "sanity flag not set"
         PASS.append(name)
         log(f"  ok   {name:34s} enc={enc_path:14s} dec={dec_path:14s} "
             f"({time.time() - t0:.1f}s)")
@@ -136,7 +116,7 @@ def check_case(name, table, symbols, indexes=None, expect_enc=None,
         log(f"  FAIL {name}: {e}")
 
 
-def check_sidecar(name, table, symbols, indexes=None):
+def check_sidecar(name, table, symbols, indexes=None, expect_dec=None):
     t0 = time.time()
     try:
         buf, lens, esc_pos, esc_val = jax_coder.encode_streams_sidecar(
@@ -144,8 +124,12 @@ def check_sidecar(name, table, symbols, indexes=None):
         out, sanity = jax_coder.decode_streams_sidecar(
             buf, lens, symbols.shape[1], table, esc_pos, esc_val,
             indexes=indexes)
+        dec_path = jax_coder.DISPATCH_LOG.get("decode_sidecar", "?")
         assert np.array_equal(np.asarray(out), symbols), "sidecar decode"
         assert np.asarray(sanity).all(), "sidecar sanity"
+        if expect_dec is not None and jax.default_backend() == "tpu":
+            assert dec_path == expect_dec, \
+                f"sidecar decode path {dec_path} != expected {expect_dec}"
         # Determinism: a second encode must produce identical buffers.
         buf2, lens2, esc_pos2, esc_val2 = jax_coder.encode_streams_sidecar(
             symbols, table, indexes)
@@ -222,8 +206,10 @@ def main():
                expect_enc="pallas-indexed", expect_dec="xla")
 
     # --- sidecar escape mode ------------------------------------------
-    check_sidecar("sidecar 64-gauss escapes", tg, symt, idx)
-    check_sidecar("sidecar single-row", t12, sym)
+    check_sidecar("sidecar 64-gauss escapes", tg, symt, idx,
+                  expect_dec="pallas-indexed")
+    check_sidecar("sidecar single-row", t12, sym,
+                  expect_dec="pallas-indexed")
 
     log("")
     if FAIL:
