@@ -102,11 +102,22 @@ class TestRawCoder:
         sym = rng.choice(len(pmf), size=(S, N), p=pmf).astype(np.int32)
         buf, lens = jax_coder.encode_streams(sym, table)
 
-        # Trailing garbage appended to every stream: all must be flagged.
+        # Trailing garbage appended to every stream: the weak check can
+        # pass by chance on a few streams (the reference warns exactly
+        # this) — assert a large majority is flagged AND that the
+        # vectorized kernel's verdict matches the reference-semantics
+        # CPU oracle stream for stream.
+        from compression_tpu.codec import stream as stream_oracle
         extra = np.concatenate(
             [buf, rng.randint(0, 256, (S, 8)).astype(np.uint8)], axis=1)
         out, sanity = jax_coder.decode_streams(extra, lens + 4, N, table)
-        assert not np.any(sanity), "trailing bytes not flagged"
+        strings = [bytes(extra[s, : lens[s] + 4].tobytes())
+                   for s in range(S)]
+        osym, osan = stream_oracle.decode_streams(strings, N, table)
+        assert np.array_equal(np.asarray(sanity), np.asarray(osan)), \
+            "kernel sanity verdicts diverge from the CPU oracle"
+        assert np.array_equal(out, np.asarray(osym))
+        assert np.mean(sanity) <= 0.25, "trailing bytes mostly unflagged"
         CASES_RUN.extend([("raw-single-trailing", i) for i in range(S)])
 
         # Truncation: may or may not be flagged (weak check) — but the
