@@ -107,11 +107,22 @@ class BatchCodec:
         out_size = 2 * num_steps + 4
         encode = self._get_encode(num_steps, out_size)
         data = NamedSharding(self.mesh, P("data"))
+        # Phase decomposition (SCALING.json interpretability): "put" is
+        # the host->device scatter, "compute" the per-device coder work
+        # on sharded outputs, "gather" the device->host byte pull.  On a
+        # real pod, compute is the part that scales with chips; put and
+        # gather ride PCIe/DCN and bound the efficiency ceiling.
         with self.timer("encode"):
-            sym_d = jax.device_put(jnp.asarray(symbols), data)
-            idx_d = jax.device_put(jnp.asarray(indexes), data)
-            buf, lengths = jax.block_until_ready(encode(sym_d, idx_d))
-        return np.asarray(buf)[:s_orig], np.asarray(lengths)[:s_orig]
+            with self.timer("encode_put"):
+                sym_d = jax.device_put(jnp.asarray(symbols), data)
+                idx_d = jax.device_put(jnp.asarray(indexes), data)
+                jax.block_until_ready((sym_d, idx_d))
+            with self.timer("encode_compute"):
+                buf, lengths = jax.block_until_ready(encode(sym_d, idx_d))
+            with self.timer("encode_gather"):
+                buf = np.asarray(buf)
+                lengths = np.asarray(lengths)
+        return buf[:s_orig], lengths[:s_orig]
 
     def decode(self, buf, lengths, num_elements, indexes=None):
         """Decodes padded byte buffers sharded across the mesh."""
@@ -131,8 +142,15 @@ class BatchCodec:
         decode = self._get_decode(num_elements)
         data = NamedSharding(self.mesh, P("data"))
         with self.timer("decode"):
-            out, sanity = jax.block_until_ready(decode(
-                jax.device_put(jnp.asarray(buf), data),
-                jax.device_put(jnp.asarray(lengths), data),
-                jax.device_put(jnp.asarray(indexes), data)))
-        return np.asarray(out)[:s_orig], np.asarray(sanity)[:s_orig]
+            with self.timer("decode_put"):
+                buf_d = jax.device_put(jnp.asarray(buf), data)
+                len_d = jax.device_put(jnp.asarray(lengths), data)
+                idx_d = jax.device_put(jnp.asarray(indexes), data)
+                jax.block_until_ready((buf_d, len_d, idx_d))
+            with self.timer("decode_compute"):
+                out, sanity = jax.block_until_ready(
+                    decode(buf_d, len_d, idx_d))
+            with self.timer("decode_gather"):
+                out = np.asarray(out)
+                sanity = np.asarray(sanity)
+        return out[:s_orig], sanity[:s_orig]

@@ -46,10 +46,13 @@ def main():
     print(f"devices: {len(devices)} x {devices[0].device_kind}")
 
     results = {}
+    phases = {}
     for ndev in [1, len(devices)]:
         mesh = make_mesh(ndev, data_axis=ndev)
         codec = BatchCodec(table, mesh)
         codec.encode(symbols[: ndev])  # warm up compile
+        codec.timer.totals.clear()
+        codec.timer.counts.clear()
         t0 = time.perf_counter()
         buf, lengths = codec.encode(symbols)
         t_enc = time.perf_counter() - t0
@@ -59,8 +62,21 @@ def main():
         assert np.array_equal(decoded, symbols) and sanity.all()
         total = symbols.size
         results[ndev] = (total / t_enc, total / t_dec)
+        # Per-phase decomposition: compute (the part that scales with
+        # chips) vs put/gather (host<->device transfer, the efficiency
+        # ceiling).  Makes a future real-pod SCALING.json interpretable
+        # against the >=0.8 BASELINE target.
+        summ = codec.timer.summary()
+        phases[ndev] = {
+            k: summ[k]["mean_ms"] for k in sorted(summ) if "_" in k}
+        for op in ("encode", "decode"):
+            tot = sum(v for k, v in phases[ndev].items()
+                      if k.startswith(op + "_"))
+            if tot > 0:
+                phases[ndev][f"{op}_compute_fraction"] = round(
+                    phases[ndev].get(f"{op}_compute", 0.0) / tot, 4)
         print(f"{ndev} device(s): encode {total/t_enc/1e6:.1f} M sym/s, "
-              f"decode {total/t_dec/1e6:.1f} M sym/s")
+              f"decode {total/t_dec/1e6:.1f} M sym/s  phases={phases[ndev]}")
 
     # Byte determinism across device counts:
     mesh1 = make_mesh(1, data_axis=1)
@@ -90,6 +106,12 @@ def main():
             "scaling_efficiency_encode": round(eff_enc, 4),
             "scaling_efficiency_decode": round(eff_dec, 4),
             "bytes_deterministic_across_device_counts": bool(same),
+            # ms per phase at each device count + the fraction of the
+            # wall spent in sharded compute (vs host<->device put and
+            # byte gather).  A real-pod run scales the compute term;
+            # put/gather are the fixed costs that cap efficiency.
+            "phase_decomposition_ms": {
+                str(k): v for k, v in phases.items()},
         }
         print(json.dumps(record))
         out = os.path.join(os.path.dirname(__file__), "..", "SCALING.json")
