@@ -49,7 +49,14 @@ CFG = {
                    ha_widths=(40, 32), hs_widths=(24, 32, 40),
                    slice_widths=(28, 16)),
 }
-DEFAULT_STEPS = {"bls2017": 4000, "bmshj2018": 4000, "ms2020": 3000}
+DEFAULT_STEPS = {"bls2017": 3000, "bmshj2018": 3000, "ms2020": 2500}
+
+# The study grid (rd_queue_*.sh / rd_merge.py): chosen after probing the
+# curve ends so the corpus spans a non-degenerate PSNR range (~22-31 dB)
+# instead of round 2's saturated 19.4 dB plateau.
+LAMBDAS = {"bls2017": (0.0005, 0.004, 0.03, 0.25),
+           "bmshj2018": (0.0005, 0.004, 0.03, 0.25),
+           "ms2020": (0.004, 0.03, 0.25)}
 
 
 def lr_at(step, steps):
