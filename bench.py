@@ -41,6 +41,7 @@ NUM_STREAMS = 32768
 NUM_ELEMENTS = 512
 PRECISION = 12
 ALPHABET = 256
+BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 
 
 def make_workload():
@@ -136,20 +137,39 @@ def bench_tpu(table, symbols):
                                  jnp.zeros((1, 1), jnp.int32))[0, 0]
 
     def fetch_time(fn, *args):
-        np.asarray(fn(*args))  # warm the compile
         t0 = time.perf_counter()
         np.asarray(fn(*args))
         return time.perf_counter() - t0
 
+    # Median of N repeats with spread (VERDICT r2 item 8: single runs on
+    # the shared host showed 1.3-2x run-to-run variance).
     k_lo, k_hi = 1, 9
-    t_enc = (fetch_time(enc_k, sym_d, k_hi)
-             - fetch_time(enc_k, sym_d, k_lo)) / (k_hi - k_lo)
-    t_dec = (fetch_time(dec_k, buf, lengths, k_hi)
-             - fetch_time(dec_k, buf, lengths, k_lo)) / (k_hi - k_lo)
+    np.asarray(enc_k(sym_d, k_hi))  # warm both k variants' compiles
+    np.asarray(enc_k(sym_d, k_lo))
+    np.asarray(dec_k(buf, lengths, k_hi))
+    np.asarray(dec_k(buf, lengths, k_lo))
+    encs, decs = [], []
+    for _ in range(BENCH_REPEATS):
+        encs.append((fetch_time(enc_k, sym_d, k_hi)
+                     - fetch_time(enc_k, sym_d, k_lo)) / (k_hi - k_lo))
+        decs.append((fetch_time(dec_k, buf, lengths, k_hi)
+                     - fetch_time(dec_k, buf, lengths, k_lo))
+                    / (k_hi - k_lo))
+    t_enc = float(np.median(encs))
+    t_dec = float(np.median(decs))
 
     n_symbols = NUM_STREAMS * NUM_ELEMENTS
+    spread = {
+        "encode_ms": {"median": round(t_enc * 1e3, 3),
+                      "min": round(min(encs) * 1e3, 3),
+                      "max": round(max(encs) * 1e3, 3)},
+        "decode_ms": {"median": round(t_dec * 1e3, 3),
+                      "min": round(min(decs) * 1e3, 3),
+                      "max": round(max(decs) * 1e3, 3)},
+        "repeats": BENCH_REPEATS,
+    }
     # Combined encode+decode throughput (symbols pass through both).
-    return n_symbols / (t_enc + t_dec), t_enc, t_dec
+    return n_symbols / (t_enc + t_dec), t_enc, t_dec, spread
 
 
 def gaussian_table():
@@ -233,13 +253,16 @@ def bench_indexed():
         # executable; timing an unwarmed k_lo would include its compile).
         np.asarray(fn(*args, k_hi))
         np.asarray(fn(*args, k_lo))
-        t0 = time.perf_counter()
-        np.asarray(fn(*args, k_hi))
-        t_hi = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(fn(*args, k_lo))
-        t_lo = time.perf_counter() - t0
-        return (t_hi - t_lo) / (k_hi - k_lo)
+        reps = []
+        for _ in range(max(BENCH_REPEATS // 2, 2)):
+            t0 = time.perf_counter()
+            np.asarray(fn(*args, k_hi))
+            t_hi = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(fn(*args, k_lo))
+            t_lo = time.perf_counter() - t0
+            reps.append((t_hi - t_lo) / (k_hi - k_lo))
+        return float(np.median(reps))
 
     out = {}
 
@@ -394,7 +417,7 @@ int main(int argc, char** argv) {
 
 def main():
     table, symbols, cdf = make_workload()
-    value, t_enc, t_dec = bench_tpu(table, symbols)
+    value, t_enc, t_dec, spread = bench_tpu(table, symbols)
     n = NUM_STREAMS * NUM_ELEMENTS
     print(f"encode: {t_enc * 1e3:.2f} ms ({n / t_enc / 1e6:.0f} M sym/s)  "
           f"decode: {t_dec * 1e3:.2f} ms ({n / t_dec / 1e6:.0f} M sym/s)",
@@ -405,11 +428,25 @@ def main():
         print(f"indexed bench failed: {e}", file=sys.stderr)
         indexed = {"indexed_bench_error": str(e)[:200]}
     print(f"indexed: {indexed}", file=sys.stderr)
+    models = {}
+    if os.environ.get("BENCH_MODELS", "1") != "0":
+        # Model-level rows (VERDICT r2 item 2): images/s per path for
+        # all three families at 512x512 on this chip.
+        try:
+            from tools import model_bench
+            models = model_bench.bench_all(
+                size=int(os.environ.get("BENCH_MODEL_SIZE", "512")),
+                repeats=BENCH_REPEATS)
+        except Exception as e:  # noqa: BLE001 — secondary metric
+            models = {"model_bench_error": str(e)[:200]}
     baseline = _measure_baseline(cdf, symbols)
     if baseline is None:
         baseline = FALLBACK_BASELINE_SYMBOLS_PER_S
     host_socket = _measure_host_socket(table, symbols)
     extra = dict(indexed)
+    extra["stability"] = spread
+    if models:
+        extra["models"] = models
     extra["host_baseline_single_core_sym_per_s"] = round(baseline, 1)
     if host_socket is not None:
         # Socket-level honest denominator: this repo's own native

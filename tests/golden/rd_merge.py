@@ -1,0 +1,132 @@
+"""Merges rd_out/ partial results into RD_PARITY.json.
+
+Per family: cross-implementation (reference-TF vs repo-JAX) bpp/PSNR at
+each lambda, with deltas.  Plus the model-ordering analysis the
+reference's Kodak results establish (ms2020 >= bmshj2018 >= bls2017 at
+equal bpp; /root/reference/results/image_compression/kodak/
+PSNR_sRGB_RGB/minnen-2020-icip.txt:12-21 vs balle-2018/2017): each
+family's (bpp, PSNR) points are linearly interpolated onto a shared bpp
+grid and compared pairwise, separately for each implementation.
+
+Usage: python rd_merge.py   (reads rd_out/*.json, writes ../../RD_PARITY.json)
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+FAMILIES = ("bls2017", "bmshj2018", "ms2020")
+
+
+def load_points():
+    pts = {}
+    for path in sorted(glob.glob(os.path.join(HERE, "rd_out", "*.json"))):
+        name = os.path.basename(path)
+        if name.startswith(("probe", "tfprobe")):
+            continue
+        with open(path) as f:
+            r = json.load(f)
+        pts.setdefault((r["family"], r["impl"]), []).append(r)
+    for v in pts.values():
+        v.sort(key=lambda r: r["lmbda"])
+    return pts
+
+
+def interp_psnr(points, bpp_grid):
+    """PSNR at given bpps via linear interpolation (NaN outside hull)."""
+    bpps = np.asarray([p["bpp"] for p in points])
+    psnrs = np.asarray([p["psnr_db"] for p in points])
+    order = np.argsort(bpps)
+    bpps, psnrs = bpps[order], psnrs[order]
+    out = np.interp(bpp_grid, bpps, psnrs, left=np.nan, right=np.nan)
+    out[(bpp_grid < bpps.min()) | (bpp_grid > bpps.max())] = np.nan
+    return out
+
+
+def main():
+    pts = load_points()
+    out = {"corpus": "rd_corpus.py synthetic (512 train / 24 eval, 64x64; "
+                     "smooth base + shapes + non-stationary texture)",
+           "families": {}}
+
+    # Per-family cross-implementation table.
+    for fam in FAMILIES:
+        tf_pts = {p["lmbda"]: p for p in pts.get((fam, "tf"), [])}
+        jx_pts = {p["lmbda"]: p for p in pts.get((fam, "jax"), [])}
+        rows = []
+        for lmbda in sorted(set(tf_pts) | set(jx_pts)):
+            row = {"lambda": lmbda}
+            if lmbda in tf_pts:
+                row["ref_bpp"] = tf_pts[lmbda]["bpp"]
+                row["ref_psnr_db"] = tf_pts[lmbda]["psnr_db"]
+            if lmbda in jx_pts:
+                row["tpu_bpp"] = jx_pts[lmbda]["bpp"]
+                row["tpu_psnr_db"] = jx_pts[lmbda]["psnr_db"]
+            if lmbda in tf_pts and lmbda in jx_pts:
+                row["delta_psnr_db"] = round(
+                    row["tpu_psnr_db"] - row["ref_psnr_db"], 3)
+                row["delta_bpp_pct"] = round(
+                    100 * (row["tpu_bpp"] - row["ref_bpp"])
+                    / max(row["ref_bpp"], 1e-9), 2)
+            rows.append(row)
+        if rows:
+            psnrs = [r["psnr_db"] for r in
+                     (tf_pts or jx_pts).values()]
+            out["families"][fam] = {
+                "points": rows,
+                "steps": (list(tf_pts.values()) or
+                          list(jx_pts.values()))[0]["steps"],
+            }
+
+    # Curve non-degeneracy: PSNR span of the jax bls curve.
+    for impl in ("jax", "tf"):
+        spans = {}
+        for fam in FAMILIES:
+            ps = [p["psnr_db"] for p in pts.get((fam, impl), [])]
+            if len(ps) >= 2:
+                spans[fam] = round(max(ps) - min(ps), 2)
+        if spans:
+            out[f"psnr_span_db_{impl}"] = spans
+
+    # Model ordering at equal bpp (per implementation).
+    for impl in ("jax", "tf"):
+        fams = [f for f in FAMILIES if (f, impl) in pts
+                and len(pts[(f, impl)]) >= 2]
+        if len(fams) < 2:
+            continue
+        los = [min(p["bpp"] for p in pts[(f, impl)]) for f in fams]
+        his = [max(p["bpp"] for p in pts[(f, impl)]) for f in fams]
+        lo, hi = max(los), min(his)
+        if hi <= lo:
+            continue
+        grid = np.linspace(lo, hi, 9)
+        curves = {f: interp_psnr(pts[(f, impl)], grid) for f in fams}
+        ordering = {}
+        for hi_f, lo_f in (("bmshj2018", "bls2017"),
+                           ("ms2020", "bmshj2018"),
+                           ("ms2020", "bls2017")):
+            if hi_f in curves and lo_f in curves:
+                d = curves[hi_f] - curves[lo_f]
+                d = d[~np.isnan(d)]
+                if d.size:
+                    ordering[f"{hi_f}_minus_{lo_f}_db"] = {
+                        "mean": round(float(d.mean()), 3),
+                        "min": round(float(d.min()), 3),
+                        "max": round(float(d.max()), 3),
+                        "holds": bool((d > -0.05).all()),
+                    }
+        out[f"ordering_at_equal_bpp_{impl}"] = {
+            "bpp_overlap": [round(lo, 4), round(hi, 4)],
+            **ordering}
+
+    path = os.path.join(HERE, "..", "..", "RD_PARITY.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
