@@ -27,6 +27,8 @@ __all__ = [
     "shard_batch",
     "replicate",
     "data_parallel_train_step",
+    "tp_shardings_like",
+    "dp_tp_train_step",
     "sharded_encode",
 ]
 
@@ -80,6 +82,51 @@ def data_parallel_train_step(mesh: Mesh, train_step):
         in_shardings=(repl, repl, data, repl),
         out_shardings=(repl, repl, repl),
     )
+
+
+def tp_shardings_like(mesh: Mesh, tree):
+    """NamedSharding tree for tensor parallelism over the model axis.
+
+    Rank-4 conv kernels (H, W, I, O) shard their output-channel dim over
+    "model" when divisible; every other leaf replicates.  Applying the
+    same rule to the optimizer state shards Adam's mu/nu alongside the
+    weights (they mirror the param tree), so TP actually reduces
+    per-device optimizer memory instead of replicating it.
+    """
+    model = int(mesh.devices.shape[1])
+
+    def spec(x):
+        shape = getattr(x, "shape", ())
+        if (model > 1 and len(shape) == 4
+                and shape[-1] % model == 0 and shape[-1] >= model):
+            return NamedSharding(mesh, P(None, None, None, "model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def dp_tp_train_step(mesh: Mesh, train_step, params, opt_state):
+    """DP over the batch axis + TP over conv output channels.
+
+    Params and optimizer state carry `tp_shardings_like` shardings in
+    AND out (weights stay sharded across steps); the batch shards over
+    data; XLA's SPMD partitioner inserts the all-gathers on the
+    channel-sharded convs and the gradient psums over ICI.
+
+    Returns (jitted step, sharded params, sharded opt_state).
+    """
+    p_sh = tp_shardings_like(mesh, params)
+    o_sh = tp_shardings_like(mesh, opt_state)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    step = jax.jit(
+        train_step,
+        in_shardings=(p_sh, o_sh, data, repl),
+        out_shardings=(p_sh, o_sh, repl),
+    )
+    params = jax.tree_util.tree_map(jax.device_put, params, p_sh)
+    opt_state = jax.tree_util.tree_map(jax.device_put, opt_state, o_sh)
+    return step, params, opt_state
 
 
 def sharded_encode(mesh: Mesh, encode_fn, symbols, indexes):
