@@ -94,10 +94,36 @@ def _transform_times(codec, x8, repeats=3):
             return acc + xh.reshape(-1)[:1].astype(jnp.int32)
         return jax.lax.fori_loop(0, k, body, jnp.zeros((1,), jnp.int32))
 
-    return {"analysis_ms": _device_loop_ms(
-                lambda k: ana_k(params, x, k), repeats=repeats),
-            "synthesis_ms": _device_loop_ms(
-                lambda k: syn_k(params, y, k), repeats=repeats)}
+    def flops_of(fn, *args):
+        """XLA cost-analysis FLOPs of one call (None if unavailable)."""
+        try:
+            ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0)) or None
+        except Exception:  # noqa: BLE001
+            return None
+
+    out = {"analysis_ms": _device_loop_ms(
+               lambda k: ana_k(params, x, k), repeats=repeats),
+           "synthesis_ms": _device_loop_ms(
+               lambda k: syn_k(params, y, k), repeats=repeats)}
+    fa = flops_of(lambda p, xx: model.apply(p, xx, method=cls.encode),
+                  params, x)
+    fs = flops_of(lambda p, yy: model.apply(p, yy, method=cls.decode),
+                  params, y)
+    # Achieved compute rate makes conv efficiency visible next to the
+    # device peak (f32 on this chip); the coder share of each full path
+    # is (path_ms - transform_ms) / path_ms.
+    if fa:
+        out["analysis_gflops"] = round(fa / 1e9, 2)
+        out["analysis_tflops_per_s"] = round(
+            fa / (out["analysis_ms"] * 1e-3) / 1e12, 2)
+    if fs:
+        out["synthesis_gflops"] = round(fs / 1e9, 2)
+        out["synthesis_tflops_per_s"] = round(
+            fs / (out["synthesis_ms"] * 1e-3) / 1e12, 2)
+    return out
 
 
 def _build(name, size):
