@@ -953,6 +953,14 @@ def encode_streams(symbols, table, indexes=None) -> tuple[np.ndarray, np.ndarray
     total = count.sum(axis=1).max() if count.size else 0
     num_steps = max(int(_round_up(max(int(total), 1), 64)), 64)
     out_size = _round_up(2 * num_steps + 2, 4)
+
+    if _host_route(num_streams):
+        from compression_tpu.codec import host
+        DISPATCH_LOG["encode"] = "host"
+        strings = host.encode_streams(
+            symbols, _host_cdf_table(table), indexes)
+        return from_bytes_list(strings)
+
     DISPATCH_LOG["encode"] = encode_path(table, n, num_steps, slots)
 
     buf, lengths = _encode_streams_jit(
@@ -1030,6 +1038,40 @@ def decode_path(table, num_elements, nchunks, channel_mode=True,
 #: Last path chosen by each host-level entry point ("encode", "decode",
 #: "decode_sidecar") — written on every call, including jit-cache hits.
 DISPATCH_LOG: dict = {}
+
+
+def _host_route(num_streams) -> bool:
+    """True when the native threaded host coder should serve this call.
+
+    The device kernels want >= 1024 coder lanes to pay off; classic
+    reference-format containers carry a HANDFUL of long streams (one per
+    image, or one per ms2020 slice), where a device dispatch means a
+    near-empty tile plus per-call tunnel latency while the host coder
+    (bit-exact, ~67 M sym/s/thread) finishes in microseconds-per-KB.
+    Only consulted by the reference-format wrappers (encode_streams /
+    decode_streams); the sidecar/native-container and traced in-jit
+    paths always stay on device.
+    """
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    from compression_tpu.codec import host
+    if not host.available():
+        return False
+    limit = int(os.environ.get("CTPU_HOST_ROUTE_MAX_STREAMS", "256"))
+    return num_streams < limit
+
+
+def _host_cdf_table(table) -> tables.CdfTable:
+    """CdfTable view of a DeviceCdfTable's host metadata copy."""
+    h = table.host
+    return tables.CdfTable(
+        cdf=np.asarray(h.cdf, np.int32),
+        length=np.asarray(h.length, np.int32),
+        precision=np.asarray(h.precision, np.int32),
+        overflow=np.asarray(h.overflow, bool))
 
 
 def encode_dispatch(symbols, table, num_steps, out_size, indexes=None):
@@ -1324,6 +1366,16 @@ def decode_streams(byte_buf, byte_lens, num_elements, table, indexes=None):
         table = DeviceCdfTable(table)
     byte_lens = np.asarray(byte_lens, np.int32)
     num_streams = np.asarray(byte_buf).shape[0]
+
+    if _host_route(num_streams):
+        from compression_tpu.codec import host
+        DISPATCH_LOG["decode"] = "host"
+        strings = to_bytes_list(
+            np.asarray(byte_buf, np.uint8), byte_lens)
+        idx = None if indexes is None else np.asarray(indexes, np.int32)
+        return host.decode_streams(
+            strings, int(num_elements), _host_cdf_table(table), idx)
+
     src16 = bytes_to_chunks(byte_buf, byte_lens)
     DISPATCH_LOG["decode"] = decode_path(
         table, int(num_elements), np.asarray(src16).shape[1],

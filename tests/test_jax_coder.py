@@ -201,3 +201,30 @@ def test_table_cache_survives_multiple_jits():
     buf2, len2 = f2(jnp.asarray(sym), jnp.asarray(idx))  # 2nd trace, same dt
     np.testing.assert_array_equal(np.asarray(buf1), np.asarray(buf2))
     np.testing.assert_array_equal(np.asarray(len1), np.asarray(len2))
+
+
+class TestHostRoute:
+    """Few-stream reference-format calls route to the native host coder
+    on TPU (bit-exact; the device kernels want >= 1024 lanes).  Forced
+    here irrespective of backend via monkeypatch."""
+
+    def test_routed_bytes_and_decode_match_oracle(self, monkeypatch):
+        from compression_tpu.codec import jax_coder, stream, tables
+        import numpy as np
+
+        monkeypatch.setattr(jax_coder, "_host_route", lambda s: True)
+        rng = np.random.RandomState(0)
+        pmf = 1.0 / (1 + np.arange(16)) ** 1.1
+        pmf /= pmf.sum()
+        cdf = tables.pmf_to_quantized_cdf(pmf.astype(np.float32), 10)
+        table = tables.parse_ragged_cdf(
+            tables.build_ragged_cdf([cdf], [10], [True]))
+        sym = rng.choice(16, size=(3, 50), p=pmf).astype(np.int32)
+        sym[1, 7] = 200  # escape through the overflow row
+        buf, lens = jax_coder.encode_streams(sym, table)
+        assert jax_coder.DISPATCH_LOG["encode"] == "host"
+        assert jax_coder.to_bytes_list(buf, lens) == \
+            stream.encode_streams(sym, table)
+        out, sanity = jax_coder.decode_streams(buf, lens, 50, table)
+        assert jax_coder.DISPATCH_LOG["decode"] == "host"
+        assert np.array_equal(out, sym) and sanity.all()
