@@ -30,7 +30,7 @@ NUM_FILTERS = 24
 NUM_SCALES = 64
 SCALE_MIN, SCALE_MAX = 0.11, 256.0
 LMBDA = 0.01
-STEPS = 200
+STEPS = int(__import__("os").environ.get("GOLDEN_STEPS", "200"))
 PATCH = 64
 
 

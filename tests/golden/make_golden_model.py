@@ -32,7 +32,7 @@ from tools import port_tf_weights  # noqa: E402
 
 NUM_FILTERS = 32
 LMBDA = 0.01
-STEPS = 300
+STEPS = int(__import__("os").environ.get("GOLDEN_STEPS", "300"))
 PATCH = 64
 
 

@@ -43,7 +43,7 @@ HA_WIDTHS = (32, 24)
 HS_WIDTHS = (16, 24, 32)
 SLICE_WIDTHS = (24, 16)
 LMBDA = 0.01
-STEPS = 120
+STEPS = int(__import__("os").environ.get("GOLDEN_STEPS", "120"))
 PATCH = 64
 
 

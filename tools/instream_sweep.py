@@ -81,8 +81,10 @@ def main():
     idx_d = jnp.asarray(idx)
     enc = host.encode_streams if host.available() else stream.encode_streams
 
+    esc_exps = tuple(int(v) for v in os.environ.get(
+        "SWEEP_ESC_EXPS", "8").split(","))
     results = {"streams": S, "symbols_per_stream": N, "rows": []}
-    for esc_exp in (8, 6, 10):  # escape rates 2^-8 (reference), 2^-6, 2^-10
+    for esc_exp in esc_exps:  # escape rate 2^-k; 2^-8 = reference tail_mass
         sym = base_sym.copy()
         esc_mask = rng.rand(S, N) < 2.0 ** -esc_exp
         sym[esc_mask] = (max_sym[esc_mask]
