@@ -21,9 +21,9 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 FAMILIES = ("bls2017", "bmshj2018", "ms2020")
 
 
-def load_points():
+def load_points(dirname="rd_out"):
     pts = {}
-    for path in sorted(glob.glob(os.path.join(HERE, "rd_out", "*.json"))):
+    for path in sorted(glob.glob(os.path.join(HERE, dirname, "*.json"))):
         name = os.path.basename(path)
         if name.startswith(("probe", "tfprobe")):
             continue
@@ -33,6 +33,24 @@ def load_points():
     for v in pts.values():
         v.sort(key=lambda r: r["lmbda"])
     return pts
+
+
+def ordering_points(pts):
+    """Points for the cross-FAMILY ordering analysis.
+
+    Cross-implementation parity wants matched steps per (family, lambda)
+    pair; cross-family ordering wants matched CONVERGENCE across
+    families.  rd_out_ord/ holds re-runs (jax side, step counts equal
+    across families) that override rd_out entries per (family, impl,
+    lambda) for the ordering analysis only.
+    """
+    merged = {k: {p["lmbda"]: p for p in v} for k, v in pts.items()}
+    for k, v in load_points("rd_out_ord").items():
+        merged.setdefault(k, {})
+        for p in v:
+            merged[k][p["lmbda"]] = p
+    return {k: sorted(v.values(), key=lambda r: r["lmbda"])
+            for k, v in merged.items()}
 
 
 def interp_psnr(points, bpp_grid):
@@ -92,31 +110,37 @@ def main():
             out[f"psnr_span_db_{impl}"] = spans
 
     # Model ordering at equal bpp (per implementation).
+    opts = ordering_points(pts)
     for impl in ("jax", "tf"):
-        fams = [f for f in FAMILIES if (f, impl) in pts
-                and len(pts[(f, impl)]) >= 2]
+        pts_o = {k: v for k, v in opts.items() if k[1] == impl}
+        fams = [f for f in FAMILIES if (f, impl) in pts_o
+                and len(pts_o[(f, impl)]) >= 2]
         if len(fams) < 2:
             continue
-        los = [min(p["bpp"] for p in pts[(f, impl)]) for f in fams]
-        his = [max(p["bpp"] for p in pts[(f, impl)]) for f in fams]
+        los = [min(p["bpp"] for p in pts_o[(f, impl)]) for f in fams]
+        his = [max(p["bpp"] for p in pts_o[(f, impl)]) for f in fams]
         lo, hi = max(los), min(his)
         if hi <= lo:
             continue
         grid = np.linspace(lo, hi, 9)
-        curves = {f: interp_psnr(pts[(f, impl)], grid) for f in fams}
+        curves = {f: interp_psnr(pts_o[(f, impl)], grid) for f in fams}
         ordering = {}
         for hi_f, lo_f in (("bmshj2018", "bls2017"),
                            ("ms2020", "bmshj2018"),
                            ("ms2020", "bls2017")):
             if hi_f in curves and lo_f in curves:
                 d = curves[hi_f] - curves[lo_f]
-                d = d[~np.isnan(d)]
-                if d.size:
+                keep = ~np.isnan(d)
+                if keep.any():
+                    dk = d[keep]
                     ordering[f"{hi_f}_minus_{lo_f}_db"] = {
-                        "mean": round(float(d.mean()), 3),
-                        "min": round(float(d.min()), 3),
-                        "max": round(float(d.max()), 3),
-                        "holds": bool((d > -0.05).all()),
+                        "mean": round(float(dk.mean()), 3),
+                        "min": round(float(dk.min()), 3),
+                        "max": round(float(dk.max()), 3),
+                        "holds": bool((dk > -0.05).all()),
+                        "per_bpp": [
+                            [round(float(b), 3), round(float(v), 3)]
+                            for b, v in zip(grid[keep], dk)],
                     }
         out[f"ordering_at_equal_bpp_{impl}"] = {
             "bpp_overlap": [round(lo, 4), round(hi, 4)],

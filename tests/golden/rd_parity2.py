@@ -49,7 +49,7 @@ CFG = {
                    ha_widths=(40, 32), hs_widths=(24, 32, 40),
                    slice_widths=(28, 16)),
 }
-DEFAULT_STEPS = {"bls2017": 3000, "bmshj2018": 3000, "ms2020": 2500}
+DEFAULT_STEPS = {"bls2017": 3000, "bmshj2018": 3000, "ms2020": 2000}
 
 # The study grid (rd_queue_*.sh / rd_merge.py): chosen after probing the
 # curve ends so the corpus spans a non-degenerate PSNR range (~22-31 dB)
