@@ -1303,7 +1303,11 @@ def _indexed_kernel_sub(num_elements, nchunks):
     nb_pull = max((int(nchunks) + 16) // 16, 1) + 1
     c_pad = 16 * nb_pull + 32
     per_sub = (c_pad + 2 * int(num_elements)) * 128 * 4
-    for sub in (16, 8, 4, 2, 1):
+    # Sublane tiles below 8 do not lower (Mosaic gather shape mismatch
+    # observed at sub=1 on hardware) — long streams take the XLA scan
+    # instead; the native container keeps streams short (<= 512
+    # elements, models/native_format.py) so production stays here.
+    for sub in (16, 8):
         if per_sub * sub <= 6 * 1024 * 1024:
             return sub
     return None

@@ -219,12 +219,13 @@ class BLS2017Codec:
         with the reference .tfci format; `decompress` auto-detects the
         container kind.
         """
+        from compression_tpu.models import native_format
+
         x = jnp.asarray(x, jnp.float32)[None]
         y = self._analysis(self.params, x)
         x_shape = np.asarray(x.shape[1:-1], np.int32)
         y_shape = np.asarray(y.shape[1:-1], np.int32)
-        h = int(y.shape[1])
-        y_rows = y[0].reshape(h, 1, y.shape[2], y.shape[3])
+        y_rows = native_format.to_streams(y)
         buf, lengths, esc_pos, esc_val = self.em.compress_sidecar(y_rows)
         strings = jax_coder.to_bytes_list(buf, lengths)
         packed = PackedTensors()
@@ -251,14 +252,17 @@ class BLS2017Codec:
         packed = PackedTensors(container)
         assert packed.model == self.MODEL_ID
         if packed.num_tensors == 5:  # native multi-stream container
+            from compression_tpu.models import native_format
+
             strings, x_shape, y_shape, esc_flat, esc_val = packed.unpack(
                 ["bytes", np.int32, np.int32, np.int32, np.int32])
             buf, lens = jax_coder.from_bytes_list(strings)
             h, w = int(y_shape[0]), int(y_shape[1])
+            c = int(np.prod(self.em.prior_shape))
             y_rows = self.em.decompress_sidecar(
-                buf, lens, (1, w), esc_flat.reshape(-1, 2), esc_val)
-            y_hat = jnp.asarray(y_rows).reshape(
-                1, h, w, y_rows.shape[-1])
+                buf, lens, native_format.stream_broadcast_shape(w, c),
+                esc_flat.reshape(-1, 2), esc_val)
+            y_hat = native_format.from_streams(y_rows, h, w, c)
         else:
             strings, x_shape, y_shape = packed.unpack(
                 ["bytes", np.int32, np.int32])

@@ -261,12 +261,12 @@ class BMSHJ2018Codec:
         indexes = self._hyper_decode(self.params, z_hat)
         indexes = indexes[:, : y.shape[1], : y.shape[2], :]
 
-        hz = int(z.shape[1])
-        z_rows = z[0].reshape(hz, 1, z.shape[2], z.shape[3])
+        from compression_tpu.models import native_format
+
+        z_rows = native_format.to_streams(z)
         z_buf, z_len, z_ep, z_ev = self.side_em.compress_sidecar(z_rows)
-        hy = int(y.shape[1])
-        y_rows = y[0].reshape(hy, 1, y.shape[2], y.shape[3])
-        i_rows = indexes[0].reshape(hy, 1, y.shape[2], y.shape[3])
+        y_rows = native_format.to_streams(y)
+        i_rows = native_format.to_streams(indexes)
         y_buf, y_len, y_ep, y_ev = self.em.compress_sidecar(y_rows, i_rows)
 
         packed = PackedTensors()
@@ -303,21 +303,25 @@ class BMSHJ2018Codec:
              z_ep, z_ev) = packed.unpack(
                 ["bytes", "bytes", np.int32, np.int32, np.int32,
                  np.int32, np.int32, np.int32, np.int32])
+            from compression_tpu.models import native_format
+
             z_buf, z_len = jax_coder.from_bytes_list(side_strings)
             hz, wz = int(z_shape[0]), int(z_shape[1])
+            cz = int(np.prod(self.side_em.prior_shape))
             z_rows = self.side_em.decompress_sidecar(
-                z_buf, z_len, (1, wz), z_ep.reshape(-1, 2), z_ev)
-            z_hat = jnp.asarray(z_rows).reshape(
-                1, hz, wz, z_rows.shape[-1])
+                z_buf, z_len,
+                native_format.stream_broadcast_shape(wz, cz),
+                z_ep.reshape(-1, 2), z_ev)
+            z_hat = native_format.from_streams(z_rows, hz, wz, cz)
             indexes = self._hyper_decode(self.params, z_hat)
             indexes = indexes[:, : y_shape[0], : y_shape[1], :]
             hy, wy = int(y_shape[0]), int(y_shape[1])
-            i_rows = indexes[0].reshape(hy, 1, wy, indexes.shape[-1])
+            cy = int(indexes.shape[-1])
+            i_rows = native_format.to_streams(indexes)
             y_buf, y_len = jax_coder.from_bytes_list(strings)
             y_rows = self.em.decompress_sidecar(
                 y_buf, y_len, i_rows, y_ep.reshape(-1, 2), y_ev)
-            y_hat = jnp.asarray(y_rows).reshape(
-                1, hy, wy, y_rows.shape[-1])
+            y_hat = native_format.from_streams(y_rows, hy, wy, cy)
         else:
             strings, side_strings, x_shape, y_shape, z_shape = (
                 packed.unpack(

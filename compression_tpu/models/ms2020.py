@@ -390,8 +390,9 @@ class MS2020Codec:
         y_shape = np.asarray(y.shape[1:-1], np.int32)
         z_shape = np.asarray(z.shape[1:-1], np.int32)
 
-        hz = int(z.shape[1])
-        z_rows = z[0].reshape(hz, 1, z.shape[2], z.shape[3])
+        from compression_tpu.models import native_format
+
+        z_rows = native_format.to_streams(z)
         z_buf, z_len, z_ep, z_ev = self.em_z.compress_sidecar(z_rows)
         z_hat = self.em_z.quantize(z)
         latent_scales, latent_means = self._hyper_decode(self.params, z_hat)
@@ -407,9 +408,9 @@ class MS2020Codec:
                 self.params, i, latent_means, latent_scales, tuple(support),
                 tuple(int(s) for s in y_shape))
             cs = int(y_slice.shape[-1])
-            y_rows = y_slice[0].reshape(hy, 1, wy, cs)
-            s_rows = sigma[0].reshape(hy, 1, wy, cs)
-            m_rows = mu[0].reshape(hy, 1, wy, cs)
+            y_rows = native_format.to_streams(y_slice)
+            s_rows = native_format.to_streams(sigma)
+            m_rows = native_format.to_streams(mu)
             buf, lens, ep, ev = self.em_y.compress_sidecar(
                 y_rows, s_rows, loc=m_rows)
             slice_fields += [jc.to_bytes_list(buf, lens),
@@ -417,7 +418,8 @@ class MS2020Codec:
                              ev.astype(np.int32)]
             y_hat_rows = self.em_y.decompress_sidecar(
                 buf, lens, s_rows, ep, ev, loc=m_rows)
-            y_hat_slice = jnp.asarray(y_hat_rows).reshape(1, hy, wy, cs)
+            y_hat_slice = native_format.from_streams(
+                y_hat_rows, hy, wy, cs)
             y_hat_slice = y_hat_slice + self._lrp(
                 self.params, i, mean_support, y_hat_slice)
             y_hat_slices.append(y_hat_slice)
@@ -441,11 +443,15 @@ class MS2020Codec:
         x_shape, y_shape, z_shape = fields[:3]
         z_strings, z_ep, z_ev = fields[3:6]
 
+        from compression_tpu.models import native_format
+
         z_buf, z_len = jc.from_bytes_list(list(z_strings))
         hz, wz = int(z_shape[0]), int(z_shape[1])
+        cz = int(np.prod(self.em_z.prior_shape))
         z_rows = self.em_z.decompress_sidecar(
-            z_buf, z_len, (1, wz), z_ep.reshape(-1, 2), z_ev)
-        z_hat = jnp.asarray(z_rows).reshape(1, hz, wz, z_rows.shape[-1])
+            z_buf, z_len, native_format.stream_broadcast_shape(wz, cz),
+            z_ep.reshape(-1, 2), z_ev)
+        z_hat = native_format.from_streams(z_rows, hz, wz, cz)
         latent_scales, latent_means = self._hyper_decode(self.params, z_hat)
 
         hy, wy = int(y_shape[0]), int(y_shape[1])
@@ -458,12 +464,13 @@ class MS2020Codec:
                 self.params, i, latent_means, latent_scales, tuple(support),
                 (hy, wy))
             cs = int(sigma.shape[-1])
-            s_rows = sigma[0].reshape(hy, 1, wy, cs)
-            m_rows = mu[0].reshape(hy, 1, wy, cs)
+            s_rows = native_format.to_streams(sigma)
+            m_rows = native_format.to_streams(mu)
             buf, lens = jc.from_bytes_list(list(strings))
             y_hat_rows = self.em_y.decompress_sidecar(
                 buf, lens, s_rows, ep.reshape(-1, 2), ev, loc=m_rows)
-            y_hat_slice = jnp.asarray(y_hat_rows).reshape(1, hy, wy, cs)
+            y_hat_slice = native_format.from_streams(
+                y_hat_rows, hy, wy, cs)
             y_hat_slice = y_hat_slice + self._lrp(
                 self.params, i, mean_support, y_hat_slice)
             y_hat_slices.append(y_hat_slice)

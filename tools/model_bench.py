@@ -78,14 +78,19 @@ def _transform_times(codec, x8, repeats=3):
         bump = jnp.where(acc[:1] == jnp.int32(-2147483647), 1, 0)
         return t + bump.astype(t.dtype)
 
+    def first_leaf(t):
+        # bmshj/ms2020 encode returns (y, z); bls returns y.
+        return t[0] if isinstance(t, tuple) else t
+
     @functools.partial(jax.jit, static_argnums=(2,))
     def ana_k(params, x, k):
         def body(i, acc):
-            y = model.apply(params, chain(x, acc), method=cls.encode)
+            y = first_leaf(
+                model.apply(params, chain(x, acc), method=cls.encode))
             return acc + y.reshape(-1)[:1].astype(jnp.int32)
         return jax.lax.fori_loop(0, k, body, jnp.zeros((1,), jnp.int32))
 
-    y = model.apply(params, x, method=cls.encode)
+    y = first_leaf(model.apply(params, x, method=cls.encode))
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def syn_k(params, y, k):
@@ -108,8 +113,8 @@ def _transform_times(codec, x8, repeats=3):
                lambda k: ana_k(params, x, k), repeats=repeats),
            "synthesis_ms": _device_loop_ms(
                lambda k: syn_k(params, y, k), repeats=repeats)}
-    fa = flops_of(lambda p, xx: model.apply(p, xx, method=cls.encode),
-                  params, x)
+    fa = flops_of(lambda p, xx: first_leaf(
+        model.apply(p, xx, method=cls.encode)), params, x)
     fs = flops_of(lambda p, yy: model.apply(p, yy, method=cls.decode),
                   params, y)
     # Achieved compute rate makes conv efficiency visible next to the
@@ -203,6 +208,8 @@ def bench_all(size=512, repeats=5, models=("bls2017", "bmshj2018",
             out[name] = bench_model(name, size=size, repeats=repeats)
             out[name]["total_bench_s"] = round(time.time() - t0, 1)
         except Exception as e:  # noqa: BLE001 — report, keep benching
+            import traceback
+            traceback.print_exc(file=sys.stderr)
             out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
         print(f"model bench {name}: {out[name]}", file=sys.stderr,
               flush=True)
