@@ -99,6 +99,30 @@ def main():
                           list(jx_pts.values()))[0]["steps"],
             }
 
+    # Better-converged re-run pairs (rd_out_ord): report cross-impl
+    # deltas where BOTH impls have a record at identical steps there.
+    ord_pts = load_points("rd_out_ord")
+    conv = []
+    for fam in FAMILIES:
+        tf_o = {(p["lmbda"], p["steps"]): p
+                for p in ord_pts.get((fam, "tf"), [])}
+        for p in ord_pts.get((fam, "jax"), []):
+            key = (p["lmbda"], p["steps"])
+            if key in tf_o:
+                q = tf_o[key]
+                conv.append({
+                    "family": fam, "lambda": p["lmbda"],
+                    "steps": p["steps"],
+                    "ref_bpp": q["bpp"], "ref_psnr_db": q["psnr_db"],
+                    "tpu_bpp": p["bpp"], "tpu_psnr_db": p["psnr_db"],
+                    "delta_psnr_db": round(
+                        p["psnr_db"] - q["psnr_db"], 3),
+                    "delta_bpp_pct": round(
+                        100 * (p["bpp"] - q["bpp"])
+                        / max(q["bpp"], 1e-9), 2)})
+    if conv:
+        out["converged_rerun_pairs"] = conv
+
     # Curve non-degeneracy: PSNR span of the jax bls curve.
     for impl in ("jax", "tf"):
         spans = {}

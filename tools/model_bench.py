@@ -47,8 +47,11 @@ def _median_spread(fn, repeats):
             "max_ms": round(float(ts.max()) * 1e3, 2)}
 
 
-def _device_loop_ms(fn_k, repeats=3, k_lo=1, k_hi=5):
-    """Device-side k-loop marginal time in ms (see tools/device_time.py)."""
+def _device_loop_ms(fn_k, repeats=3, k_lo=1, k_hi=33):
+    """Device-side k-loop marginal time in ms (see tools/device_time.py).
+
+    k_hi is large so the marginal dominates the per-call tunnel jitter
+    (with k_hi=5 a sub-ms kernel produced negative differences)."""
     ts = []
     np.asarray(fn_k(k_hi))  # warm both k variants
     np.asarray(fn_k(k_lo))
@@ -60,7 +63,7 @@ def _device_loop_ms(fn_k, repeats=3, k_lo=1, k_hi=5):
         np.asarray(fn_k(k_lo))
         t_lo = time.perf_counter() - t0
         ts.append((t_hi - t_lo) / (k_hi - k_lo))
-    return round(float(np.median(ts)) * 1e3, 2)
+    return round(max(float(np.median(ts)), 0.0) * 1e3, 3)
 
 
 def _transform_times(codec, x8, repeats=3):
