@@ -96,6 +96,32 @@ def perceptual_features(images):
     return np.concatenate(f_fid), np.concatenate(f_kid)
 
 
+def hf_spectrum_error(ref_imgs, recon_imgs):
+    """High-frequency power restoration error (dB).
+
+    MSE-trained codecs systematically UNDERSHOOT high-frequency power
+    (blur); the GAN objective exists to restore it.  Mean log-power
+    error over the top half of the radial frequency band of the luma
+    channel is a self-contained, embedding-free measure of that effect
+    (lower = spectrum closer to the originals').
+    """
+    def band_power(imgs):
+        luma = imgs.astype(np.float64) @ np.asarray([0.299, 0.587, 0.114])
+        spec = np.abs(np.fft.rfft2(luma, axes=(1, 2))) ** 2
+        h, w = spec.shape[1], spec.shape[2]
+        fy = np.fft.fftfreq(h)[:, None]
+        fx = np.fft.rfftfreq(h)[None, :]
+        r = np.sqrt(fy * fy + fx * fx)
+        out = []
+        for lo, hi in ((0.25, 0.35), (0.35, 0.45), (0.45, 0.51)):
+            m = (r >= lo) & (r < hi)
+            out.append(spec[:, m].mean())
+        return np.asarray(out)
+    p_ref = band_power(ref_imgs)
+    p_rec = band_power(recon_imgs)
+    return float(np.mean(np.abs(10 * np.log10(p_rec / p_ref))))
+
+
 def real_bpp(model, params, images):
     from compression_tpu.models import hific
     codec = hific.HiFiCCodec(model, params)
@@ -182,7 +208,9 @@ def main():
                       "real_container_bpp_16imgs": round(bpp, 4),
                       "psnr_db": round(ps, 3),
                       "fid_vgg_relu3_3": round(fid, 4),
-                      "kid_vgg_alltaps": round(kid, 6)}
+                      "kid_vgg_alltaps": round(kid, 6),
+                      "hf_spectrum_err_db": round(
+                          hf_spectrum_error(eval_data, recon), 3)}
         print(name, rows[name], flush=True)
 
     out = {
@@ -206,6 +234,9 @@ def main():
                    - rows["gan"]["kid_vgg_alltaps"])
             / max(abs(rows["mse"]["kid_vgg_alltaps"]), 1e-12), 2),
         "rate_target_branch": rows_target,
+        "hf_spectrum_improvement_db": round(
+            rows["mse"]["hf_spectrum_err_db"]
+            - rows["gan"]["hf_spectrum_err_db"], 3),
         "wall_s": round(time.time() - t0, 1),
     }
     path = os.path.join(os.path.dirname(
