@@ -94,7 +94,8 @@ def main():
         src16 = jnp.asarray(jax_coder.bytes_to_chunks(buf, lens))
         lens_d = jnp.asarray(lens)
 
-        for sub in (16, 8, 4, 2, 1):
+        for sub in tuple(int(v) for v in os.environ.get(
+                "SWEEP_SUBS", "16,8,4,2,1").split(",")):
             @functools.partial(jax.jit, static_argnums=(3,))
             def dec_k(src, ln, ix, k, sub=sub):
                 pad = (-S) % (sub * 128)
