@@ -1304,11 +1304,15 @@ def _indexed_kernel_sub(num_elements, nchunks):
     c_pad = 16 * nb_pull + 32
     per_sub = (c_pad + 2 * int(num_elements)) * 128 * 4
     # Sublane tiles below 8 do not lower (Mosaic gather shape mismatch
-    # observed at sub=1 on hardware) — long streams take the XLA scan
-    # instead; the native container keeps streams short (<= 512
-    # elements, models/native_format.py) so production stays here.
+    # observed at sub=1 on hardware; sub 2/4 rejected by the block-shape
+    # divisibility rule) — long streams take the XLA scan instead; the
+    # native container keeps streams short (<= 512 elements,
+    # models/native_format.py) so production stays here.  The 12 MB cap
+    # lets the bench regime (512 symbols/stream) pick sub=16, measured
+    # 1.8x faster than sub=8 on the in-stream escape decode
+    # (tools/instream_sweep.py, BENCH_r03): 700 vs 393 M sym/s.
     for sub in (16, 8):
-        if per_sub * sub <= 6 * 1024 * 1024:
+        if per_sub * sub <= 12 * 1024 * 1024:
             return sub
     return None
 
