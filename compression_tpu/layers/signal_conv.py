@@ -156,7 +156,13 @@ class _SignalConv(nn.Module):
             kernel_shape = support + (in_channels, self.filters)
 
         fan_in = int(np.prod(support)) * in_channels
-        init_std = (1.0 / max(fan_in, 1)) ** 0.5
+        # Match the reference default exactly: Keras VarianceScaling
+        # (scale=1, fan_in, truncated_normal) divides the target std by
+        # the std of a (-2, 2) truncated normal (0.8796...), so samples
+        # land at sqrt(1/fan_in) AFTER truncation.  Without the
+        # correction kernels start ~12% small — measurably slower early
+        # training on deep stacks (ms2020's 15 slice transforms).
+        init_std = (1.0 / max(fan_in, 1)) ** 0.5 / 0.87962566103423978
 
         def kernel_init(key):
             return init_std * jax.random.truncated_normal(
