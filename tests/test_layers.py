@@ -406,3 +406,23 @@ class TestSignalConvReferenceMatrix:
                     got[0, ..., ci * filters + fo], expected,
                     rtol=0, atol=1e-3,
                     err_msg=f"ci={ci} fo={fo}")
+
+
+class TestKernelInit:
+    def test_variance_scaling_truncation_correction(self):
+        """Kernel init must match Keras VarianceScaling(scale=1, fan_in,
+        truncated_normal): samples have std sqrt(1/fan_in) AFTER the
+        (-2, 2) truncation (the /0.8796 correction the reference's
+        default kernel_initializer applies; its omission started kernels
+        ~12% small and measurably slowed ms2020 training — round 3)."""
+        conv = SignalConv2D(
+            filters=256, kernel_support=5, corr=True, strides_down=1,
+            padding="same_zeros", use_bias=False,
+            kernel_parameter="variable")
+        params = conv.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16, 16, 64)))
+        kernel = params["params"]["kernel"]
+        fan_in = 5 * 5 * 64
+        target = (1.0 / fan_in) ** 0.5
+        std = float(jnp.std(kernel))
+        assert abs(std - target) / target < 0.03, (std, target)
