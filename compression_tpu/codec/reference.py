@@ -140,6 +140,7 @@ class RangeDecoder:
         self.base = 0
         self.size_minus1 = U32
         self.value = 0
+        self.corrupt = False
         self._read16()
         self._read16()
 
@@ -182,7 +183,7 @@ class RangeDecoder:
 
     def finalize(self) -> bool:
         """Weak sanity check that the stream was fully consumed."""
-        if self.pos != len(self.source):
+        if self.corrupt or self.pos != len(self.source):
             return False
         upper = (self.base + self.size_minus1) & U32
         if self.base == 0 or upper < self.base:
@@ -239,6 +240,13 @@ def overflow_decode(decoder: RangeDecoder, cdf, precision: int) -> int:
     n = 0
     while decoder.decode(binary_uniform, 1) == 0:
         n += 1
+        # A corrupted stream can hit a fixed point where every binary
+        # decode yields 0 forever (zero-filled tail keeps value-base at 0
+        # through renorm).  Real encoders never exceed ~34 unary bits
+        # (int32 magnitudes), so cap and flag the stream as corrupt.
+        if n > 62:
+            decoder.corrupt = True
+            return 0
     value = 1 << n
     n -= 1
     while n >= 0:

@@ -125,6 +125,7 @@ struct Decoder {
   uint64_t base = 0;
   uint64_t size_minus1 = kU32;
   uint64_t value = 0;
+  bool corrupt = false;
 
   Decoder(const uint8_t* s, int64_t n) : src(s), src_len(n) {
     read16();
@@ -177,7 +178,7 @@ struct Decoder {
   }
 
   bool finalize() {
-    if (pos != src_len) return false;
+    if (corrupt || pos != src_len) return false;
     const uint64_t upper = (base + size_minus1) & kU32;
     if (base == 0 || upper < base) return value == 0;
     const int shift = (((base - 1) >> 24) < (upper >> 24)) ? 24 : 16;
@@ -221,7 +222,16 @@ int64_t overflow_decode(Decoder& dec, const int32_t* cdf, int n,
   int64_t value = dec.decode(cdf, n, precision);
   if (value != max_value) return value;
   int nbits = 0;
-  while (dec.decode(kBinaryUniform, 3, 1) == 0) ++nbits;
+  while (dec.decode(kBinaryUniform, 3, 1) == 0) {
+    // A corrupted stream can reach a fixed point where every binary decode
+    // yields 0 forever (zero-filled tail keeps value-base at 0 through
+    // renormalization); nbits >= 63 shifts would also be UB.  Real encoders
+    // never exceed ~34 unary bits (int32 magnitudes), so cap and flag.
+    if (++nbits > 62) {
+      dec.corrupt = true;
+      return 0;
+    }
+  }
   value = int64_t{1} << nbits;
   for (int k = nbits - 1; k >= 0; --k) {
     value |= static_cast<int64_t>(dec.decode(kBinaryUniform, 3, 1)) << k;

@@ -92,8 +92,12 @@ def tp_shardings_like(mesh: Mesh, tree):
     same rule to the optimizer state shards Adam's mu/nu alongside the
     weights (they mirror the param tree), so TP actually reduces
     per-device optimizer memory instead of replicating it.
+
+    The model axis is looked up by NAME; a mesh without a "model" axis
+    (e.g. 1-D pure-DP) replicates every leaf instead of raising
+    (ADVICE r3: indexing mesh.devices.shape[1] broke on 1-D meshes).
     """
-    model = int(mesh.devices.shape[1])
+    model = int(dict(mesh.shape).get("model", 1))
 
     def spec(x):
         shape = getattr(x, "shape", ())

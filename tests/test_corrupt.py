@@ -344,6 +344,71 @@ class TestModelContainers:
         CASES_RUN.append(("cross-model", 0))
 
 
+class TestRunawayEscapeUnary:
+    """A crafted stream whose escape is followed by an endless unary-zero
+    run (the value==base fixed point a zero-tailed corruption can reach)
+    must terminate with sanity False on every host-side decoder — the
+    advisor-r3 finding: the unary Elias-gamma loop in overflow_decode was
+    unbounded, and the _host_route sends classic-container decodes with
+    < 256 streams through the native coder on TPU."""
+
+    def _crafted_stream(self):
+        from compression_tpu.codec import reference
+
+        table = _table_indexed()
+        cdf = np.asarray(table.cdf[0][: int(table.length[0])])
+        prec = int(table.precision[0])
+        max_value = len(cdf) - 2
+        enc = reference.RangeEncoder()
+        sink = bytearray()
+        # Escape symbol, then 70 unary continuation zeros (a legitimate
+        # encoder writes at most ~32 for int32 magnitudes).
+        enc.encode(int(cdf[max_value]), int(cdf[max_value + 1]), prec, sink)
+        for _ in range(70):
+            enc.encode(0, 1, 1, sink)
+        enc.finalize(sink)
+        return table, cdf, prec, bytes(sink)
+
+    def test_oracle_terminates_and_flags(self):
+        from compression_tpu.codec import reference
+
+        _, cdf, prec, src = self._crafted_stream()
+        dec = reference.RangeDecoder(src)
+        reference.overflow_decode(dec, cdf, prec)
+        assert dec.corrupt
+        assert not dec.finalize()
+        CASES_RUN.append(("runaway-escape-oracle", 0))
+
+    def test_host_route_terminates_and_flags(self):
+        """The native threaded coder (the _host_route target) on the same
+        stream: must return, sanity False."""
+        from compression_tpu.codec import host
+
+        table, _, _, src = self._crafted_stream()
+        idx = np.zeros((1, 1), np.int32)
+        out, sanity = host.decode_streams([src], 1, table, idx)
+        assert out.shape == (1, 1)
+        assert not sanity[0]
+        CASES_RUN.append(("runaway-escape-host", 0))
+
+    def test_zero_tail_streams_terminate(self):
+        """All-zero / zero-tailed buffers of several lengths through both
+        decoders: terminate, no crash (sanity may be either; shape must
+        hold)."""
+        from compression_tpu.codec import host, stream
+
+        table = _table_indexed()
+        for n in (1, 2, 8, 64):
+            for nelem in (1, 4):
+                src = bytes(n)
+                idx = np.zeros((1, nelem), np.int32)
+                out, sanity = host.decode_streams([src], nelem, table, idx)
+                assert out.shape == (1, nelem)
+                out2, _ = stream.decode_streams([src], nelem, table, idx)
+                assert out2.shape == (1, nelem)
+                CASES_RUN.append(("zero-tail", (n, nelem)))
+
+
 def test_total_case_count():
     """The fuzz must cover >= 200 adversarial cases (VERDICT r2 item 6)."""
     assert len(CASES_RUN) >= 200, f"only {len(CASES_RUN)} cases ran"
