@@ -416,6 +416,12 @@ int main(int argc, char** argv) {
 
 
 def main():
+    # The driver runs bench.py under a fixed wall-clock budget and the
+    # artifact is unusable unless the JSON line prints (BENCH_r03 was
+    # rc=124/parsed=null); every block after the headline respects this
+    # deadline so a partial table still produces a parseable artifact.
+    t_start = time.time()
+    deadline = t_start + float(os.environ.get("BENCH_DEADLINE_S", "660"))
     table, symbols, cdf = make_workload()
     value, t_enc, t_dec, spread = bench_tpu(table, symbols)
     n = NUM_STREAMS * NUM_ELEMENTS
@@ -430,19 +436,25 @@ def main():
     print(f"indexed: {indexed}", file=sys.stderr)
     models = {}
     if os.environ.get("BENCH_MODELS", "1") != "0":
-        # Model-level rows (VERDICT r2 item 2): images/s per path for
-        # all three families at 512x512 on this chip.
+        # Model-level rows (VERDICT r2 item 2 / r3 items 1+3): images/s
+        # per path for all three families at 512x512 on this chip, plus
+        # the recorded reference-stack baseline.
         try:
             from tools import model_bench
             models = model_bench.bench_all(
                 size=int(os.environ.get("BENCH_MODEL_SIZE", "512")),
-                repeats=BENCH_REPEATS)
+                repeats=int(os.environ.get("BENCH_MODEL_REPEATS", "3")),
+                deadline=deadline)
         except Exception as e:  # noqa: BLE001 — secondary metric
             models = {"model_bench_error": str(e)[:200]}
-    baseline = _measure_baseline(cdf, symbols)
+    if time.time() < deadline:
+        baseline = _measure_baseline(cdf, symbols)
+    else:
+        baseline = None
     if baseline is None:
         baseline = FALLBACK_BASELINE_SYMBOLS_PER_S
-    host_socket = _measure_host_socket(table, symbols)
+    host_socket = (_measure_host_socket(table, symbols)
+                   if time.time() < deadline + 60 else None)
     extra = dict(indexed)
     extra["stability"] = spread
     if models:

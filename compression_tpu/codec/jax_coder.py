@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -937,6 +938,16 @@ def encode_streams(symbols, table, indexes=None) -> tuple[np.ndarray, np.ndarray
             np.arange(n, dtype=np.int32) % table.num_rows, (num_streams, n))
     indexes = np.asarray(indexes, np.int32)
 
+    if _host_route(num_streams):
+        # Consulted BEFORE the O(S*N) micro-op budget passes below: the
+        # host fast path exists for low latency on a handful of long
+        # streams, and host.encode_streams derives its own escape bound.
+        from compression_tpu.codec import host
+        DISPATCH_LOG["encode"] = "host"
+        strings = host.encode_streams(
+            symbols, _host_cdf_table(table), indexes)
+        return from_bytes_list(strings)
+
     # Static micro-op budget (slots per symbol K, scan length T).
     len_np = table.host.length
     ovf_np = table.host.overflow
@@ -953,13 +964,6 @@ def encode_streams(symbols, table, indexes=None) -> tuple[np.ndarray, np.ndarray
     total = count.sum(axis=1).max() if count.size else 0
     num_steps = max(int(_round_up(max(int(total), 1), 64)), 64)
     out_size = _round_up(2 * num_steps + 2, 4)
-
-    if _host_route(num_streams):
-        from compression_tpu.codec import host
-        DISPATCH_LOG["encode"] = "host"
-        strings = host.encode_streams(
-            symbols, _host_cdf_table(table), indexes)
-        return from_bytes_list(strings)
 
     DISPATCH_LOG["encode"] = encode_path(table, n, num_steps, slots)
 
@@ -1035,9 +1039,46 @@ def decode_path(table, num_elements, nchunks, channel_mode=True,
     return "xla"
 
 
-#: Last path chosen by each host-level entry point ("encode", "decode",
-#: "decode_sidecar") — written on every call, including jit-cache hits.
-DISPATCH_LOG: dict = {}
+class _DispatchLog:
+    """Thread-local dispatch-path log with a dict-like surface.
+
+    Written by every host-level entry point ("encode", "decode",
+    "decode_sidecar"), including on jit-cache hits.  Backed by
+    ``threading.local`` so concurrent encode/decode calls (threaded batch
+    drivers) cannot interleave each other's path introspection entries;
+    readers (verify_tpu.py) see only the paths chosen on their own thread.
+    """
+
+    def __init__(self):
+        self._tls = threading.local()
+
+    def _d(self) -> dict:
+        d = getattr(self._tls, "d", None)
+        if d is None:
+            d = self._tls.d = {}
+        return d
+
+    def __setitem__(self, key, value):
+        self._d()[key] = value
+
+    def __getitem__(self, key):
+        return self._d()[key]
+
+    def get(self, key, default=None):
+        return self._d().get(key, default)
+
+    def clear(self):
+        self._d().clear()
+
+    def __contains__(self, key):
+        return key in self._d()
+
+    def __repr__(self):
+        return repr(self._d())
+
+
+#: Last path chosen by each host-level entry point on this thread.
+DISPATCH_LOG = _DispatchLog()
 
 
 def _host_route(num_streams) -> bool:
@@ -1233,6 +1274,79 @@ def decode_streams_sidecar(byte_buf, byte_lens, num_elements, table,
     return symbols, sanity
 
 
+def sidecar_extract(symbols, escape, budget: int):
+    """In-jit fixed-budget escape compaction (traced counterpart of the
+    ``np.nonzero`` pass in encode_streams_sidecar).
+
+    Args:
+      symbols: int32 [S, N] (offset-subtracted coder symbols).
+      escape: bool [S, N] escape mask.
+      budget: static max number of escapes the caller reserves space for.
+
+    Returns:
+      (esc_idx int32 [budget] flat positions into symbols.ravel() in
+       ascending (stream-major) order, padded with S*N (an out-of-range
+       sentinel that scatter-drop ignores); esc_val int32 [budget];
+       count int32 scalar; ok bool scalar — False when the data had more
+       than ``budget`` escapes and the tail was dropped).
+    """
+    flat_esc = escape.ravel()
+    flat_val = symbols.ravel()
+    n = flat_esc.shape[0]
+    slot = jnp.cumsum(flat_esc.astype(jnp.int32)) - 1
+    count = jnp.sum(flat_esc.astype(jnp.int32))
+    target = jnp.where(flat_esc, slot, budget)  # park non-escapes OOB
+    pos = jnp.arange(n, dtype=jnp.int32)
+    esc_idx = jnp.full((budget,), n, jnp.int32).at[target].set(
+        pos, mode="drop")
+    esc_val = jnp.zeros((budget,), jnp.int32).at[target].set(
+        flat_val, mode="drop")
+    return esc_idx, esc_val, count, count <= budget
+
+
+def sidecar_apply(symbols, esc_idx, esc_val):
+    """In-jit scatter of sidecar escape values into decoded symbols.
+
+    ``esc_idx`` entries equal to S*N (the pad sentinel) are dropped.
+    """
+    s, n = symbols.shape
+    flat = symbols.ravel().at[esc_idx].set(
+        jnp.asarray(esc_val, symbols.dtype), mode="drop")
+    return flat.reshape(s, n)
+
+
+def sidecar_budget(num_symbols: int) -> int:
+    """Default static escape budget for traced sidecar compress.
+
+    Escapes carry the table's tail mass (~2^-8 of elements in the
+    production Gaussian tables); 1/32 of the element count, floored at
+    1024, covers that with a wide margin while keeping the compacted
+    arrays small relative to the stream buffers.
+    """
+    return max(1024, int(num_symbols) // 32)
+
+
+def sidecar_pad(esc_pos, esc_val, num_elements: int, total: int,
+                bucket: int = 1024):
+    """Pads host-side (stream, element) escape pairs to a static-bucket
+    flat layout for the traced decode path.
+
+    Returns (esc_idx int32 [K], esc_val int32 [K]) with K a multiple of
+    ``bucket`` (compile-cache friendly) and padding set to ``total``
+    (= S*N, the scatter-drop sentinel).
+    """
+    esc_pos = np.asarray(esc_pos, np.int32).reshape(-1, 2)
+    esc_val = np.asarray(esc_val, np.int32).ravel()
+    k = esc_pos.shape[0]
+    width = max(bucket, int(_round_up(max(k, 1), bucket)))
+    idx = np.full((width,), total, np.int32)
+    val = np.zeros((width,), np.int32)
+    if k:
+        idx[:k] = esc_pos[:, 0] * int(num_elements) + esc_pos[:, 1]
+        val[:k] = esc_val[:k]
+    return idx, val
+
+
 def bytes_to_chunks(byte_buf, byte_lens=None):
     """Packs a padded uint8 byte buffer [S, L] into u32 16-bit chunks.
 
@@ -1309,25 +1423,29 @@ def _indexed_kernel_sub(num_elements, nchunks):
     # native container keeps streams short (<= 512 elements,
     # models/native_format.py) so production stays here.  The 12 MB cap
     # lets the bench regime (512 symbols/stream) pick sub=16, measured
-    # 1.8x faster than sub=8 on the in-stream escape decode
-    # (tools/instream_sweep.py, BENCH_r03): 700 vs 393 M sym/s.
+    # ~1.6x faster than sub=8 on the in-stream escape decode
+    # (tools/instream_sweep.py): 560-700 M (median ~600) vs 393 M sym/s.
     for sub in (16, 8):
         if per_sub * sub <= 12 * 1024 * 1024:
             return sub
     return None
 
 
-def decode_dispatch(src16, byte_lens, num_elements, table, indexes=None):
+def decode_dispatch(src16, byte_lens, num_elements, table, indexes=None,
+                    in_stream_gamma=None):
     """Traced decode entry point: Pallas kernels when applicable, XLA scan
     otherwise.
 
     Safe to call inside jit (src16 / byte_lens / indexes may be tracers;
     the table must be concrete).  ``indexes=None`` selects channel mode
-    (element j uses row ``j % num_rows``).
+    (element j uses row ``j % num_rows``).  ``in_stream_gamma=False``
+    selects sidecar-mode decode (escape markers returned as-is, no gamma
+    bits consumed); default derives it from the table's overflow flags.
     """
     num_streams = src16.shape[0]
     path = decode_path(table, num_elements, src16.shape[1],
-                       channel_mode=indexes is None)
+                       channel_mode=indexes is None,
+                       in_stream_gamma=in_stream_gamma)
 
     if path == "pallas-single":
         from compression_tpu.codec import pallas_coder
@@ -1359,13 +1477,16 @@ def decode_dispatch(src16, byte_lens, num_elements, table, indexes=None):
         else:
             src_p, len_p, idx_p = src16, byte_lens, indexes
         symbols, sanity = pallas_coder.decode_indexed_pallas(
-            src_p, len_p, idx_p, int(num_elements), table, sub=sub)
+            src_p, len_p, idx_p, int(num_elements), table, sub=sub,
+            in_stream_gamma=in_stream_gamma)
         return symbols[:num_streams], sanity[:num_streams]
 
+    gamma = (table.any_overflow if in_stream_gamma is None
+             else bool(in_stream_gamma))
     return decode_core(
         src16, byte_lens, jnp.asarray(indexes, jnp.int32),
         int(num_elements), table.cdf, table.length, table.precision,
-        table.overflow, None, table.any_overflow)
+        table.overflow, None, gamma)
 
 
 def decode_streams(byte_buf, byte_lens, num_elements, table, indexes=None):

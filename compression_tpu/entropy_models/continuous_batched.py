@@ -397,6 +397,78 @@ class ContinuousBatchedEntropyModel(continuous_base.ContinuousEntropyModelBase):
             outputs = outputs + offset
         return outputs, sanity
 
+    def compress_sidecar_device(self, bottleneck, escape_budget=None):
+        """Fully traced sidecar compress: runs inside jit, end to end.
+
+        The sidecar variant of compress_device: escaping values are coded
+        in-stream only as the escape marker (slots=1, so the static
+        micro-op budget is exactly one op per symbol — no gamma
+        machinery), and the (position, value) pairs are compacted on
+        device into fixed-budget arrays (jax_coder.sidecar_extract).
+        Byte-identical streams to compress_sidecar.
+
+        Returns:
+          (bytes [batch..., L] uint8, lengths [batch...] int32,
+           esc_idx int32 [K] flat positions (pad = S*N), esc_val int32
+           [K], count int32, ok bool — False when escapes exceeded K).
+        """
+        self._check_compression()
+        bottleneck = jnp.asarray(bottleneck, self.bottleneck_dtype)
+        symbols, batch_shape = self._symbols_from_bottleneck(bottleneck)
+        num_streams, n = symbols.shape
+        num_rows = int(self.cdf_offset.shape[0])
+        indexes = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32) % num_rows, (num_streams, n))
+        table = self.device_table
+        if table.any_overflow:
+            len_r = table.length[indexes]
+            escape = table.overflow[indexes] & (
+                (symbols < 0) | (symbols >= len_r - 2))
+        else:
+            escape = jnp.zeros(symbols.shape, bool)
+        if escape_budget is None:
+            escape_budget = jax_coder.sidecar_budget(num_streams * n)
+        esc_idx, esc_val, count, ok = jax_coder.sidecar_extract(
+            symbols, escape, int(escape_budget))
+        num_steps = max(jax_coder._round_up(max(n, 1), 64), 64)
+        out_size = jax_coder._round_up(2 * num_steps + 2, 4)
+        buf, lengths = jax_coder.encode_dispatch(
+            symbols, table, num_steps, out_size, indexes=indexes)
+        return (buf.reshape(batch_shape + buf.shape[-1:]),
+                lengths.reshape(batch_shape), esc_idx, esc_val, count, ok)
+
+    def decompress_sidecar_device(self, src16, byte_lens, broadcast_shape,
+                                  esc_idx, esc_val):
+        """Fully traced sidecar decompress: runs inside jit, end to end.
+
+        Args:
+          src16: uint32 [S, C] chunk buffers (jax_coder.bytes_to_chunks).
+          byte_lens: int32 [S].
+          broadcast_shape: static shape between batch and prior dims.
+          esc_idx / esc_val: flat escape sidecar (jax_coder.sidecar_pad
+            layout; pad entries = S*N are dropped).
+
+        Returns:
+          (outputs [S, *broadcast, *prior_shape], sanity [S] bool).
+        """
+        self._check_compression()
+        table = self.device_table
+        broadcast_shape = tuple(int(s) for s in broadcast_shape)
+        num_rows = int(self.cdf_offset.shape[0])
+        n = int(np.prod(broadcast_shape)) * int(np.prod(self.prior_shape))
+        symbols, sanity = jax_coder.decode_dispatch(
+            src16, byte_lens, n, table, None, in_stream_gamma=False)
+        symbols = jax_coder.sidecar_apply(symbols, esc_idx, esc_val)
+        row_ids = jnp.arange(n, dtype=jnp.int32) % num_rows
+        symbols = symbols + jnp.asarray(self.cdf_offset)[row_ids][None]
+        outputs = symbols.reshape(
+            (src16.shape[0],) + broadcast_shape + self.prior_shape
+        ).astype(self.bottleneck_dtype)
+        offset = self.quantization_offset
+        if offset is not None:
+            outputs = outputs + offset
+        return outputs, sanity
+
     def get_config(self):
         config = super().get_config()
         config.update(

@@ -341,6 +341,64 @@ class ContinuousIndexedEntropyModel(continuous_base.ContinuousEntropyModelBase):
         return (symbols.reshape(out_shape).astype(self.bottleneck_dtype),
                 sanity)
 
+    def compress_sidecar_device(self, bottleneck, indexes,
+                                escape_budget=None):
+        """Fully traced indexed sidecar compress (runs inside jit).
+
+        See ContinuousBatchedEntropyModel.compress_sidecar_device; byte-
+        identical streams to compress_sidecar.
+        """
+        self._check_compression()
+        bottleneck = jnp.asarray(bottleneck, self.bottleneck_dtype)
+        indexes = self._normalize_indexes(
+            jnp.asarray(indexes, self.prior_dtype))
+        flat_indexes = self._flatten_indexes(indexes)
+        batch_shape = flat_indexes.shape[
+            : flat_indexes.ndim - self.coding_rank]
+        num_streams = int(np.prod(batch_shape)) if batch_shape else 1
+        symbols = jnp.round(bottleneck).astype(jnp.int32)
+        symbols = symbols - jnp.asarray(self.cdf_offset)[flat_indexes]
+        symbols = symbols.reshape(num_streams, -1)
+        idx2 = flat_indexes.reshape(num_streams, -1)
+        n = symbols.shape[1]
+        table = self.device_table
+        if table.any_overflow:
+            len_r = table.length[idx2]
+            escape = table.overflow[idx2] & (
+                (symbols < 0) | (symbols >= len_r - 2))
+        else:
+            escape = jnp.zeros(symbols.shape, bool)
+        if escape_budget is None:
+            escape_budget = jax_coder.sidecar_budget(num_streams * n)
+        esc_idx, esc_val, count, ok = jax_coder.sidecar_extract(
+            symbols, escape, int(escape_budget))
+        num_steps = max(jax_coder._round_up(max(n, 1), 64), 64)
+        out_size = jax_coder._round_up(2 * num_steps + 2, 4)
+        buf, lengths = jax_coder.encode_dispatch(
+            symbols, table, num_steps, out_size, indexes=idx2)
+        return (buf.reshape(batch_shape + buf.shape[-1:]),
+                lengths.reshape(batch_shape), esc_idx, esc_val, count, ok)
+
+    def decompress_sidecar_device(self, src16, byte_lens, indexes, esc_idx,
+                                  esc_val):
+        """Fully traced indexed sidecar decompress (runs inside jit)."""
+        self._check_compression()
+        table = self.device_table
+        indexes = self._normalize_indexes(
+            jnp.asarray(indexes, self.prior_dtype))
+        flat_indexes = self._flatten_indexes(indexes)
+        out_shape = flat_indexes.shape
+        batch_shape = out_shape[: flat_indexes.ndim - self.coding_rank]
+        num_streams = int(np.prod(batch_shape)) if batch_shape else 1
+        n = int(np.prod(out_shape[len(batch_shape):]))
+        idx2 = flat_indexes.reshape(num_streams, n)
+        symbols, sanity = jax_coder.decode_dispatch(
+            src16, byte_lens, n, table, idx2, in_stream_gamma=False)
+        symbols = jax_coder.sidecar_apply(symbols, esc_idx, esc_val)
+        symbols = symbols + jnp.asarray(self.cdf_offset)[idx2]
+        return (symbols.reshape(out_shape).astype(self.bottleneck_dtype),
+                sanity)
+
 
 class LocationScaleIndexedEntropyModel(ContinuousIndexedEntropyModel):
     """Indexed entropy model over a table of scales, with loc shifted out."""
@@ -435,6 +493,23 @@ class LocationScaleIndexedEntropyModel(ContinuousIndexedEntropyModel):
         """Fully traced loc/scale decompress (runs inside jit on device)."""
         values, sanity = super().decompress_device(
             src16, byte_lens, scale_indexes)
+        if loc is not None:
+            values = values + loc
+        return values, sanity
+
+    def compress_sidecar_device(self, bottleneck, scale_indexes, loc=None,
+                                escape_budget=None):
+        """Fully traced loc/scale sidecar compress (runs inside jit)."""
+        if loc is not None:
+            bottleneck = bottleneck - loc
+        return super().compress_sidecar_device(
+            bottleneck, scale_indexes, escape_budget=escape_budget)
+
+    def decompress_sidecar_device(self, src16, byte_lens, scale_indexes,
+                                  esc_idx, esc_val, loc=None):
+        """Fully traced loc/scale sidecar decompress (runs inside jit)."""
+        values, sanity = super().decompress_sidecar_device(
+            src16, byte_lens, scale_indexes, esc_idx, esc_val)
         if loc is not None:
             values = values + loc
         return values, sanity

@@ -191,14 +191,23 @@ class BLS2017Codec:
         prior = model.bind(params).prior()
         self.em = ContinuousBatchedEntropyModel(
             prior=prior, coding_rank=3, compression=True)
+        # Images upload as uint8 (3.9x fewer tunnel bytes than float32)
+        # and cast on device; every codec entry point shares these two
+        # programs, so compress/decompress/reconstruct see bit-identical
+        # transform outputs.
         self._analysis = jax.jit(
-            lambda p, x: model.apply(p, x, method=BLS2017Model.encode))
+            lambda p, x: model.apply(
+                p, x.astype(jnp.float32), method=BLS2017Model.encode))
         self._synthesis = jax.jit(
             lambda p, y: model.apply(p, y, method=BLS2017Model.decode))
+        self._synthesis_u8 = jax.jit(
+            lambda p, y: jnp.clip(jnp.round(model.apply(
+                p, y, method=BLS2017Model.decode)), 0, 255).astype(
+                    jnp.uint8))
 
     def compress(self, x) -> bytes:
         """uint8 [H, W, 3] image -> .tfci container bytes."""
-        x = jnp.asarray(x, jnp.float32)[None]
+        x = jnp.asarray(x)[None]
         y = self._analysis(self.params, x)
         x_shape = np.asarray(x.shape[1:-1], np.int32)
         y_shape = np.asarray(y.shape[1:-1], np.int32)
@@ -209,16 +218,79 @@ class BLS2017Codec:
         return packed.string
 
     def compress_native(self, x) -> bytes:
-        """TPU-native container: one coder stream per latent row + escape
-        sidecar.
+        """TPU-native container: one coder stream per latent row-block +
+        escape sidecar, produced by a SINGLE jitted device program.
 
         Same model and tables as `compress`, but the latent is split into
         many independent coder streams (the axis the TPU kernels scale
         across) and out-of-range values are coded out of band, so both
-        ends stay on the wide cond-free Pallas path.  Not byte-compatible
-        with the reference .tfci format; `decompress` auto-detects the
-        container kind.
+        ends stay on the wide cond-free Pallas path.  Analysis transform,
+        stream split, sidecar escape compaction and range encoding all run
+        in ONE compiled program (one device dispatch per image); the host
+        only packs the container.  Not byte-compatible with the reference
+        .tfci format; `decompress` auto-detects the container kind.
         """
+        import os
+
+        from compression_tpu.models import native_format
+        from compression_tpu.util import transfer as tr
+
+        x = jnp.asarray(x)[None]
+        if os.environ.get("CTPU_FUSED_NATIVE", "1") == "0":
+            return self._compress_native_host(np.asarray(x)[0])
+        # Analysis runs in the SAME shared program as compress() and
+        # reconstruct() — y is bit-identical across entry points (the
+        # round-trip contract) and never leaves the device.
+        y = self._analysis(self.params, x)
+        if not hasattr(self, "_native_encoders"):
+            self._native_encoders = {}
+        cached = self._native_encoders.get(y.shape)
+        if cached is None:
+            _, h, w, c = (int(s) for s in y.shape)
+            k = native_format.split_factor(w, c)
+            s_streams, n = h * k, (w // k) * c
+            budget = jax_coder.sidecar_budget(s_streams * n)
+            num_steps = max(jax_coder._round_up(n, 64), 64)
+            out_w = jax_coder._round_up(2 * num_steps + 2, 4)
+            spec = [((s_streams, out_w), "u8"), ((s_streams,), "i32"),
+                    ((budget,), "i32"), ((budget,), "i32"),
+                    ((), "i32"), ((), "bool")]
+
+            # The coding program touches floats only through IEEE-exact
+            # ops (subtract/round), so it is deterministic on the shared
+            # program's y; outputs pack into ONE int32 fetch (each
+            # tunnel transfer costs ~15-25 ms RTT).
+            def encode_all(yy):
+                out = self.em.compress_sidecar_device(
+                    native_format.to_streams(yy), escape_budget=budget)
+                return tr.pack_jit(list(out))
+
+            cached = (jax.jit(encode_all), spec, (h, w, c), n)
+            self._native_encoders[y.shape] = cached
+        fn, spec, (h, w, c), n = cached
+        flat = np.asarray(fn(y))
+        buf, lens, esc_idx, esc_val, count, ok = tr.unpack_host(flat, spec)
+        if not bool(ok):
+            import warnings
+            warnings.warn(
+                "compress_native escape budget exceeded (extreme outlier "
+                "latents); falling back to the host sidecar path for this "
+                "image.", RuntimeWarning, stacklevel=2)
+            return self._compress_native_host(np.asarray(x)[0])
+        pairs, vals = native_format.esc_to_pairs(esc_idx, esc_val, count, n)
+        packed = PackedTensors()
+        packed.model = self.MODEL_ID
+        packed.pack([
+            jax_coder.to_bytes_list(buf, lens),
+            np.asarray(x.shape[1:-1], np.int32),
+            np.asarray((h, w), np.int32),
+            pairs.ravel(), vals])
+        return packed.string
+
+    def _compress_native_host(self, x) -> bytes:
+        """Host-wrapper native compress (untraced sidecar pass); the
+        fallback behind compress_native and the CTPU_FUSED_NATIVE=0
+        debug switch."""
         from compression_tpu.models import native_format
 
         x = jnp.asarray(x, jnp.float32)[None]
@@ -241,35 +313,79 @@ class BLS2017Codec:
         reference round-trip contract is decompress(compress(x)) ==
         reconstruct(x) exactly (continuous_batched_test.py:103-110 lifted
         to model level)."""
-        x = jnp.asarray(x, jnp.float32)[None]
+        x = jnp.asarray(x)[None]
         y = self._analysis(self.params, x)
         y_hat = self.em.quantize(y)
-        x_hat = self._synthesis(self.params, y_hat)
-        x_hat = np.asarray(x_hat)[0, : x.shape[1], : x.shape[2], :]
-        return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
+        x_hat = self._synthesis_u8(self.params, y_hat)
+        return np.asarray(x_hat)[0, : x.shape[1], : x.shape[2], :]
 
     def decompress(self, container: bytes) -> np.ndarray:
         packed = PackedTensors(container)
         assert packed.model == self.MODEL_ID
         if packed.num_tensors == 5:  # native multi-stream container
-            from compression_tpu.models import native_format
+            return self._decompress_native(packed)
+        strings, x_shape, y_shape = packed.unpack(
+            ["bytes", np.int32, np.int32])
+        y_hat = self.em.decompress(strings, tuple(y_shape))
+        x_hat = self._synthesis_u8(self.params, y_hat)
+        return np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
 
-            strings, x_shape, y_shape, esc_flat, esc_val = packed.unpack(
-                ["bytes", np.int32, np.int32, np.int32, np.int32])
-            buf, lens = jax_coder.from_bytes_list(strings)
-            h, w = int(y_shape[0]), int(y_shape[1])
-            c = int(np.prod(self.em.prior_shape))
+    def _decompress_native(self, packed) -> np.ndarray:
+        """Native-container decode: sidecar range decode, stream merge and
+        synthesis in a SINGLE jitted device program (one dispatch); the
+        host only parses the container.  CTPU_FUSED_NATIVE=0 selects the
+        untraced host-wrapper path instead."""
+        import os
+
+        from compression_tpu.models import native_format
+
+        strings, x_shape, y_shape, esc_flat, esc_val = packed.unpack(
+            ["bytes", np.int32, np.int32, np.int32, np.int32])
+        buf, lens = jax_coder.from_bytes_list(strings)
+        h, w = int(y_shape[0]), int(y_shape[1])
+        c = int(np.prod(self.em.prior_shape))
+        # k from the stream COUNT: containers from any split policy
+        # (incl. pre-split k=1 writers) stay decodable (ADVICE r3).
+        k = native_format.split_factor_from_streams(len(strings), h)
+        if os.environ.get("CTPU_FUSED_NATIVE", "1") == "0":
             y_rows = self.em.decompress_sidecar(
-                buf, lens, native_format.stream_broadcast_shape(w, c),
+                buf, lens, native_format.stream_broadcast_shape_k(w, k),
                 esc_flat.reshape(-1, 2), esc_val)
             y_hat = native_format.from_streams(y_rows, h, w, c)
-        else:
-            strings, x_shape, y_shape = packed.unpack(
-                ["bytes", np.int32, np.int32])
-            y_hat = self.em.decompress(strings, tuple(y_shape))
-        x_hat = self._synthesis(self.params, y_hat)
-        x_hat = np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
-        return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
+            x_hat = self._synthesis_u8(self.params, y_hat)
+            return np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
+        from compression_tpu.util import transfer as tr
+
+        n = (w // k) * c
+        s_streams = len(strings)
+        src16 = jax_coder.bytes_to_chunks(buf, lens)
+        esc_idx, esc_v = jax_coder.sidecar_pad(
+            esc_flat.reshape(-1, 2), esc_val, n, s_streams * n)
+        # Container fields cross the tunnel as ONE packed upload; the
+        # coding program hands y_hat to the SAME synthesis program the
+        # classic path and reconstruct() use (bit-identical outputs).
+        in_arrays = [src16.astype(np.uint32), lens.astype(np.int32),
+                     esc_idx, esc_v]
+        in_spec = tr.pack_spec(in_arrays)
+        if not hasattr(self, "_native_decoders"):
+            self._native_decoders = {}
+        key = (h, w, k, src16.shape[1], esc_idx.shape[0])
+        fn = self._native_decoders.get(key)
+        if fn is None:
+            def decode_streams_only(flat):
+                s16, ln, ei, ev = tr.unpack_jit(flat, in_spec)
+                y_rows, sanity = self.em.decompress_sidecar_device(
+                    s16, ln, (1, w // k), ei, ev)
+                return native_format.from_streams(y_rows, h, w, c), sanity
+
+            fn = jax.jit(decode_streams_only)
+            self._native_decoders[key] = fn
+        y_hat, sanity = fn(jnp.asarray(tr.pack_host(in_arrays)))
+        x_hat, sanity = jax.device_get(
+            (self._synthesis_u8(self.params, y_hat), sanity))
+        if self.em.decode_sanity_check and not sanity.all():
+            raise ValueError("Sanity check failed (corrupt bit streams).")
+        return x_hat[0, : x_shape[0], : x_shape[1], :]
 
 
 def main(argv=None):

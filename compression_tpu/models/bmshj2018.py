@@ -222,16 +222,24 @@ class BMSHJ2018Codec:
             coding_rank=3, compression=True)
         self.side_em = ContinuousBatchedEntropyModel(
             bound.hyperprior(), coding_rank=3, compression=True)
+        # Images upload as uint8 and cast on device; every entry point
+        # shares these programs, so compress/decompress/reconstruct see
+        # bit-identical transform outputs (the round-trip contract).
         self._encode = jax.jit(
-            lambda p, x: model.apply(p, x, method=BMSHJ2018Model.encode))
+            lambda p, x: model.apply(
+                p, x.astype(jnp.float32), method=BMSHJ2018Model.encode))
         self._hyper_decode = jax.jit(
             lambda p, z: model.apply(
                 p, z, method=BMSHJ2018Model.hyper_decode))
         self._decode = jax.jit(
             lambda p, y: model.apply(p, y, method=BMSHJ2018Model.decode))
+        self._decode_u8 = jax.jit(
+            lambda p, y: jnp.clip(jnp.round(model.apply(
+                p, y, method=BMSHJ2018Model.decode)), 0, 255).astype(
+                    jnp.uint8))
 
     def compress(self, x) -> bytes:
-        x = jnp.asarray(x, jnp.float32)[None]
+        x = jnp.asarray(x)[None]
         y, z = self._encode(self.params, x)
         x_shape = np.asarray(x.shape[1:-1], np.int32)
         y_shape = np.asarray(y.shape[1:-1], np.int32)
@@ -248,11 +256,94 @@ class BMSHJ2018Codec:
 
     def compress_native(self, x) -> bytes:
         """TPU-native container: row streams + escape sidecars for both
-        the latent and the hyper-latent (see BLS2017Codec.compress_native).
+        the latent and the hyper-latent, produced by a SINGLE jitted
+        device program (analysis, hyper analysis/synthesis, both sidecar
+        encoders and escape compaction all fused; one dispatch per image —
+        see BLS2017Codec.compress_native).
         """
+        import os
+
+        from compression_tpu.codec import jax_coder
+        from compression_tpu.models import native_format
+        from compression_tpu.util import transfer as tr
+
+        x = jnp.asarray(x)[None]
+        if os.environ.get("CTPU_FUSED_NATIVE", "1") == "0":
+            return self._compress_native_host(x)
+        # All transforms run in the SAME shared programs as compress()
+        # and reconstruct(); the coding jits below touch floats only
+        # through IEEE-exact ops, so every entry point agrees bit-for-bit
+        # and intermediates never leave the device.
+        y, z = self._encode(self.params, x)
+        z_hat = self.side_em.quantize(z)
+        indexes = self._hyper_decode(self.params, z_hat)
+        indexes = indexes[:, : y.shape[1], : y.shape[2], :]
+
+        if not hasattr(self, "_native_encoders"):
+            self._native_encoders = {}
+        cached = self._native_encoders.get((y.shape, z.shape))
+        if cached is None:
+            def geom(shape):
+                _, h, w, c = (int(s) for s in shape)
+                k = native_format.split_factor(w, c)
+                s_streams, n = h * k, (w // k) * c
+                budget = jax_coder.sidecar_budget(s_streams * n)
+                num_steps = max(jax_coder._round_up(n, 64), 64)
+                out_w = jax_coder._round_up(2 * num_steps + 2, 4)
+                spec = [((s_streams, out_w), "u8"), ((s_streams,), "i32"),
+                        ((budget,), "i32"), ((budget,), "i32"),
+                        ((), "i32"), ((), "bool")]
+                return (h, w, c), n, budget, spec
+
+            gy, n_y, budget_y, spec_y = geom(y.shape)
+            gz, n_z, budget_z, spec_z = geom(z.shape)
+
+            def encode_coding(yy, idx, zz):
+                y_out = self.em.compress_sidecar_device(
+                    native_format.to_streams(yy),
+                    native_format.to_streams(idx),
+                    escape_budget=budget_y)
+                z_out = self.side_em.compress_sidecar_device(
+                    native_format.to_streams(zz), escape_budget=budget_z)
+                return tr.pack_jit(list(y_out) + list(z_out))
+
+            cached = (jax.jit(encode_coding), spec_y + spec_z,
+                      gy, n_y, gz, n_z)
+            self._native_encoders[(y.shape, z.shape)] = cached
+        fn, spec, (hy, wy, cy), n_y, (hz, wz, cz), n_z = cached
+        flat = np.asarray(fn(y, indexes, z))
+        (y_buf, y_len, y_ei, y_ev, y_cnt, y_ok,
+         z_buf, z_len, z_ei, z_ev, z_cnt, z_ok) = tr.unpack_host(
+            flat, spec)
+        if not (bool(y_ok) and bool(z_ok)):
+            import warnings
+            warnings.warn(
+                "compress_native escape budget exceeded; falling back to "
+                "the host sidecar path for this image.",
+                RuntimeWarning, stacklevel=2)
+            return self._compress_native_host(x)
+        y_pairs, y_vals = native_format.esc_to_pairs(y_ei, y_ev, y_cnt, n_y)
+        z_pairs, z_vals = native_format.esc_to_pairs(z_ei, z_ev, z_cnt, n_z)
+        packed = PackedTensors()
+        packed.model = self.MODEL_ID
+        packed.pack([
+            jax_coder.to_bytes_list(y_buf, y_len),
+            jax_coder.to_bytes_list(z_buf, z_len),
+            np.asarray(x.shape[1:-1], np.int32),
+            np.asarray((hy, wy), np.int32),
+            np.asarray((hz, wz), np.int32),
+            y_pairs.ravel(), y_vals, z_pairs.ravel(), z_vals,
+        ])
+        return packed.string
+
+    def _compress_native_host(self, x) -> bytes:
+        """Host-wrapper native compress (untraced sidecar passes); the
+        fallback behind compress_native and CTPU_FUSED_NATIVE=0."""
         from compression_tpu.codec import jax_coder
 
-        x = jnp.asarray(x, jnp.float32)[None]
+        x = jnp.asarray(x, jnp.float32)
+        if x.ndim == 3:
+            x = x[None]
         y, z = self._encode(self.params, x)
         x_shape = np.asarray(x.shape[1:-1], np.int32)
         y_shape = np.asarray(y.shape[1:-1], np.int32)
@@ -284,55 +375,122 @@ class BMSHJ2018Codec:
         """Eval-mode reconstruction WITHOUT the range coder (quantized
         hyper-latent -> indexes -> quantized latent -> synthesis); the
         round-trip contract is decompress(compress(x)) == reconstruct(x)."""
-        x = jnp.asarray(x, jnp.float32)[None]
+        x = jnp.asarray(x)[None]
         y, _ = self._encode(self.params, x)
         # Quantization is index-independent for the location-scale EM
         # (loc=None in this codec), so the hyper branch drops out here.
         y_hat = self.em.quantize(y)
-        x_hat = self._decode(self.params, y_hat)
-        x_hat = np.asarray(x_hat)[0, : x.shape[1], : x.shape[2], :]
-        return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
+        x_hat = self._decode_u8(self.params, y_hat)
+        return np.asarray(x_hat)[0, : x.shape[1], : x.shape[2], :]
 
     def decompress(self, container: bytes) -> np.ndarray:
-        from compression_tpu.codec import jax_coder
-
         packed = PackedTensors(container)
         assert packed.model == self.MODEL_ID
         if packed.num_tensors == 9:  # native multi-stream container
-            (strings, side_strings, x_shape, y_shape, z_shape, y_ep, y_ev,
-             z_ep, z_ev) = packed.unpack(
-                ["bytes", "bytes", np.int32, np.int32, np.int32,
-                 np.int32, np.int32, np.int32, np.int32])
-            from compression_tpu.models import native_format
+            return self._decompress_native(packed)
+        strings, side_strings, x_shape, y_shape, z_shape = packed.unpack(
+            ["bytes", "bytes", np.int32, np.int32, np.int32])
+        z_hat = self.side_em.decompress(side_strings, tuple(z_shape))
+        indexes = self._hyper_decode(self.params, z_hat)
+        indexes = indexes[:, : y_shape[0], : y_shape[1], :]
+        y_hat = self.em.decompress(strings, indexes)
+        x_hat = self._decode_u8(self.params, y_hat)
+        return np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
 
-            z_buf, z_len = jax_coder.from_bytes_list(side_strings)
-            hz, wz = int(z_shape[0]), int(z_shape[1])
-            cz = int(np.prod(self.side_em.prior_shape))
+    def _decompress_native(self, packed) -> np.ndarray:
+        """Native-container decode: hyper sidecar decode, hyper synthesis,
+        latent sidecar decode and synthesis in a SINGLE jitted device
+        program (one dispatch); CTPU_FUSED_NATIVE=0 selects the untraced
+        host-wrapper path."""
+        import os
+
+        from compression_tpu.codec import jax_coder
+        from compression_tpu.models import native_format
+
+        (strings, side_strings, x_shape, y_shape, z_shape, y_ep, y_ev,
+         z_ep, z_ev) = packed.unpack(
+            ["bytes", "bytes", np.int32, np.int32, np.int32,
+             np.int32, np.int32, np.int32, np.int32])
+        hy, wy = int(y_shape[0]), int(y_shape[1])
+        hz, wz = int(z_shape[0]), int(z_shape[1])
+        cz = int(np.prod(self.side_em.prior_shape))
+        k_z = native_format.split_factor_from_streams(
+            len(side_strings), hz)
+        k_y = native_format.split_factor_from_streams(len(strings), hy)
+        z_buf, z_len = jax_coder.from_bytes_list(side_strings)
+        y_buf, y_len = jax_coder.from_bytes_list(strings)
+        if os.environ.get("CTPU_FUSED_NATIVE", "1") == "0":
             z_rows = self.side_em.decompress_sidecar(
                 z_buf, z_len,
-                native_format.stream_broadcast_shape(wz, cz),
+                native_format.stream_broadcast_shape_k(wz, k_z),
                 z_ep.reshape(-1, 2), z_ev)
             z_hat = native_format.from_streams(z_rows, hz, wz, cz)
             indexes = self._hyper_decode(self.params, z_hat)
-            indexes = indexes[:, : y_shape[0], : y_shape[1], :]
-            hy, wy = int(y_shape[0]), int(y_shape[1])
+            indexes = indexes[:, :hy, :wy, :]
             cy = int(indexes.shape[-1])
             i_rows = native_format.to_streams(indexes)
-            y_buf, y_len = jax_coder.from_bytes_list(strings)
             y_rows = self.em.decompress_sidecar(
                 y_buf, y_len, i_rows, y_ep.reshape(-1, 2), y_ev)
             y_hat = native_format.from_streams(y_rows, hy, wy, cy)
-        else:
-            strings, side_strings, x_shape, y_shape, z_shape = (
-                packed.unpack(
-                    ["bytes", "bytes", np.int32, np.int32, np.int32]))
-            z_hat = self.side_em.decompress(side_strings, tuple(z_shape))
-            indexes = self._hyper_decode(self.params, z_hat)
-            indexes = indexes[:, : y_shape[0], : y_shape[1], :]
-            y_hat = self.em.decompress(strings, indexes)
-        x_hat = self._decode(self.params, y_hat)
-        x_hat = np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
-        return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
+            x_hat = self._decode_u8(self.params, y_hat)
+            return np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
+
+        from compression_tpu.util import transfer as tr
+
+        n_z = (wz // k_z) * cz
+        z16 = jax_coder.bytes_to_chunks(z_buf, z_len)
+        y16 = jax_coder.bytes_to_chunks(y_buf, y_len)
+        z_ei, z_evp = jax_coder.sidecar_pad(
+            z_ep.reshape(-1, 2), z_ev, n_z, len(side_strings) * n_z)
+        # n_y is derivable host-side without the hyper decode: the y
+        # stream geometry is (wy // k_y) * cy with cy the model latent
+        # depth (the container's stream count fixes k_y).
+        cy = int(self.model.num_filters)
+        n_y = (wy // k_y) * cy
+        y_ei, y_evp = jax_coder.sidecar_pad(
+            y_ep.reshape(-1, 2), y_ev, n_y, len(strings) * n_y)
+        # ONE packed upload for all container fields; hyper synthesis and
+        # final synthesis run in the SAME shared programs as the classic
+        # path and reconstruct() (bit-identical); coding jits are exact.
+        in_arrays = [z16.astype(np.uint32), z_len.astype(np.int32),
+                     z_ei, z_evp,
+                     y16.astype(np.uint32), y_len.astype(np.int32),
+                     y_ei, y_evp]
+        in_spec = tr.pack_spec(in_arrays)
+        if not hasattr(self, "_native_decoders"):
+            self._native_decoders = {}
+        key = (hy, wy, hz, wz, k_y, k_z, y16.shape[1], z16.shape[1],
+               y_ei.shape[0], z_ei.shape[0])
+        fns = self._native_decoders.get(key)
+        if fns is None:
+            def decode_z(flat):
+                (z16d, z_lnd, z_eid, z_evd, y16d, y_lnd, y_eid,
+                 y_evd) = tr.unpack_jit(flat, in_spec)
+                z_rows, z_san = self.side_em.decompress_sidecar_device(
+                    z16d, z_lnd, (1, wz // k_z), z_eid, z_evd)
+                z_hat = native_format.from_streams(z_rows, hz, wz, cz)
+                return z_hat, z_san, y16d, y_lnd, y_eid, y_evd
+
+            def decode_y(idx, y16d, y_lnd, y_eid, y_evd):
+                i_rows = idx[0].reshape(hy * k_y, 1, wy // k_y, cy)
+                y_rows, y_san = self.em.decompress_sidecar_device(
+                    y16d, y_lnd, i_rows, y_eid, y_evd)
+                return y_rows.reshape(1, hy, wy, cy), y_san
+
+            fns = (jax.jit(decode_z), jax.jit(decode_y))
+            self._native_decoders[key] = fns
+        dec_z, dec_y = fns
+        z_hat, z_san, y16d, y_lnd, y_eid, y_evd = dec_z(
+            jnp.asarray(tr.pack_host(in_arrays)))
+        indexes = self._hyper_decode(self.params, z_hat)
+        indexes = indexes[:, :hy, :wy, :]
+        y_hat, y_san = dec_y(indexes, y16d, y_lnd, y_eid, y_evd)
+        x_hat, z_san, y_san = jax.device_get(
+            (self._decode_u8(self.params, y_hat), z_san, y_san))
+        if self.em.decode_sanity_check and not (
+                z_san.all() and y_san.all()):
+            raise ValueError("Sanity check failed (corrupt bit streams).")
+        return x_hat[0, : x_shape[0], : x_shape[1], :]
 
 
 def main(argv=None):

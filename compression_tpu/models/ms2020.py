@@ -324,12 +324,20 @@ class MS2020Codec:
                           model.num_scales),
             coding_rank=3, compression=True)
         m = model
+        # Images upload as uint8 and cast on device; every entry point
+        # shares these programs, so compress/decompress/reconstruct see
+        # bit-identical transform outputs (the round-trip contract).
         self._encode = jax.jit(
-            lambda p, x: m.apply(p, x, method=MS2020Model.encode))
+            lambda p, x: m.apply(
+                p, x.astype(jnp.float32), method=MS2020Model.encode))
         self._hyper_decode = jax.jit(
             lambda p, z: m.apply(p, z, method=MS2020Model.hyper_decode))
         self._decode = jax.jit(
             lambda p, y: m.apply(p, y, method=MS2020Model.decode))
+        self._decode_u8 = jax.jit(
+            lambda p, y: jnp.clip(jnp.round(m.apply(
+                p, y, method=MS2020Model.decode)), 0, 255).astype(
+                    jnp.uint8))
         self._slice_params = jax.jit(
             lambda p, i, lm, ls, sup, ys: m.apply(
                 p, i, lm, ls, sup, ys, method=MS2020Model.slice_params),
@@ -342,7 +350,7 @@ class MS2020Codec:
         self._device_encoders = {}
 
     def compress(self, x) -> bytes:
-        x = jnp.asarray(x, jnp.float32)[None]
+        x = jnp.asarray(x)[None]
         y, z = self._encode(self.params, x)
         x_shape = np.asarray(x.shape[1:-1], np.int32)
         y_shape = np.asarray(y.shape[1:-1], np.int32)
@@ -378,13 +386,146 @@ class MS2020Codec:
 
     def compress_native(self, x) -> bytes:
         """TPU-native container: row streams + escape sidecars for z and
-        every y slice (see BLS2017Codec.compress_native).  The slice loop
-        stays sequential (decode dependency), but each slice's coding runs
-        over many parallel streams.
+        every y slice, produced by a SINGLE jitted device program.
+
+        The slice loop stays sequential (decode dependency) but runs
+        entirely inside one compiled program — analysis, hyper coding,
+        all 10 slice conditionings, sidecar range encoding and escape
+        compaction; ONE device dispatch per image where the reference
+        pays ~20 host<->device crossings (models/ms2020.py:391-430,
+        SURVEY §3.5).  The host only packs the container.
+        """
+        import os
+
+        from compression_tpu.codec import jax_coder as jc
+        from compression_tpu.models import native_format
+        from compression_tpu.util import transfer as tr
+
+        x = jnp.asarray(x)[None]
+        if os.environ.get("CTPU_FUSED_NATIVE", "1") == "0":
+            return self._compress_native_host(x)
+        # All transforms (analysis, hyper, slice conditioning, LRP) run
+        # in the SAME shared programs as compress()/reconstruct(); only
+        # the coding jits differ, and those touch floats through IEEE-
+        # exact ops alone.  The ~33 chained dispatches submit
+        # asynchronously (measured ~0.3-0.8 ms marginal each through the
+        # tunnel); device arrays never cross the host until the single
+        # packed fetch at the end.
+        y, z = self._encode(self.params, x)
+        y_shape = tuple(int(s) for s in y.shape[1:-1])
+        cached = self._native_coders(y.shape, z.shape)
+        (enc_z, enc_slice, _, _, geom) = cached
+        (hy, wy, cy), n_y, (hz, wz, cz), n_z, spec_z, spec_y = geom
+
+        z_out = enc_z(z)
+        z_hat = self.em_z.quantize(z)
+        latent_scales, latent_means = self._hyper_decode(self.params, z_hat)
+        y_slices = jnp.split(y, self.model.num_slices, axis=-1)
+        y_hat_slices = []
+        slice_outs = []
+        for i, y_slice in enumerate(y_slices):
+            support = (y_hat_slices if self.model.max_support_slices < 0
+                       else y_hat_slices[: self.model.max_support_slices])
+            mu, sigma, mean_support = self._slice_params(
+                self.params, i, latent_means, latent_scales, tuple(support),
+                y_shape)
+            slice_outs.append(enc_slice(y_slice, sigma, mu))
+            y_hat_slice = self.em_y.quantize(y_slice, mu)
+            y_hat_slice = y_hat_slice + self._lrp(
+                self.params, i, mean_support, y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+
+        # ONE packed fetch for the hyper stream and all slice streams.
+        flat = np.asarray(self._pack_fetch(
+            [a for out in [z_out] + slice_outs for a in out]))
+        outs = tr.unpack_host(flat, spec_z + spec_y * len(slice_outs))
+        z_vals = outs[:6]
+        slice_vals = [outs[6 + 6 * i: 12 + 6 * i]
+                      for i in range(len(slice_outs))]
+        ok = bool(z_vals[5]) and all(bool(s[5]) for s in slice_vals)
+        if not ok:
+            import warnings
+            warnings.warn(
+                "compress_native escape budget exceeded; falling back to "
+                "the host sidecar path for this image.",
+                RuntimeWarning, stacklevel=2)
+            return self._compress_native_host(x)
+        z_pairs, z_vv = native_format.esc_to_pairs(
+            z_vals[2], z_vals[3], z_vals[4], n_z)
+        slice_fields = []
+        for s in slice_vals:
+            pairs, vals = native_format.esc_to_pairs(s[2], s[3], s[4], n_y)
+            slice_fields += [jc.to_bytes_list(s[0], s[1]),
+                             pairs.ravel(), vals]
+        packed = PackedTensors()
+        packed.model = self.MODEL_ID
+        packed.pack(
+            [np.asarray(x.shape[1:-1], np.int32),
+             np.asarray((hy, wy), np.int32),
+             np.asarray((hz, wz), np.int32),
+             jc.to_bytes_list(z_vals[0], z_vals[1]),
+             z_pairs.ravel(), z_vv]
+            + slice_fields)
+        return packed.string
+
+    def _native_coders(self, y_full, z_full):
+        """Builds (or returns cached) per-shape native coding jits.
+
+        Returns (enc_z, enc_slice, dec_z_key, dec_slice, geom) where the
+        encoders map device latents to device sidecar-coding outputs and
+        geom carries the static stream geometry + transfer specs.
         """
         from compression_tpu.codec import jax_coder as jc
+        from compression_tpu.models import native_format
+        from compression_tpu.util import transfer as tr
 
-        x = jnp.asarray(x, jnp.float32)[None]
+        if not hasattr(self, "_native_coder_cache"):
+            self._native_coder_cache = {}
+            self._pack_fetch = jax.jit(lambda arrays: tr.pack_jit(arrays))
+        key = (tuple(y_full), tuple(z_full))
+        cached = self._native_coder_cache.get(key)
+        if cached is not None:
+            return cached
+
+        def geom_of(shape, channels):
+            h, w = int(shape[1]), int(shape[2])
+            c = int(channels)
+            k = native_format.split_factor(w, c)
+            s_streams, n = h * k, (w // k) * c
+            budget = jc.sidecar_budget(s_streams * n)
+            num_steps = max(jc._round_up(n, 64), 64)
+            out_w = jc._round_up(2 * num_steps + 2, 4)
+            spec = [((s_streams, out_w), "u8"), ((s_streams,), "i32"),
+                    ((budget,), "i32"), ((budget,), "i32"),
+                    ((), "i32"), ((), "bool")]
+            return (h, w, c), n, budget, spec
+
+        cs = int(y_full[3]) // self.model.num_slices
+        gy, n_y, budget_y, spec_y = geom_of(y_full, cs)
+        gz, n_z, budget_z, spec_z = geom_of(z_full, z_full[3])
+        em_y, em_z = self.em_y, self.em_z
+
+        enc_z = jax.jit(lambda zz: em_z.compress_sidecar_device(
+            native_format.to_streams(zz), escape_budget=budget_z))
+        enc_slice = jax.jit(
+            lambda yy, sig, mm: em_y.compress_sidecar_device(
+                native_format.to_streams(yy),
+                native_format.to_streams(sig),
+                loc=native_format.to_streams(mm),
+                escape_budget=budget_y))
+        geom = (gy, n_y, gz, n_z, spec_z, spec_y)
+        cached = (enc_z, enc_slice, None, None, geom)
+        self._native_coder_cache[key] = cached
+        return cached
+
+    def _compress_native_host(self, x) -> bytes:
+        """Host-wrapper native compress (untraced sidecar passes); the
+        fallback behind compress_native and CTPU_FUSED_NATIVE=0."""
+        from compression_tpu.codec import jax_coder as jc
+
+        x = jnp.asarray(x, jnp.float32)
+        if x.ndim == 3:
+            x = x[None]
         y, z = self._encode(self.params, x)
         x_shape = np.asarray(x.shape[1:-1], np.int32)
         y_shape = np.asarray(y.shape[1:-1], np.int32)
@@ -434,6 +575,122 @@ class MS2020Codec:
         return packed.string
 
     def _decompress_native(self, packed) -> np.ndarray:
+        """Native-container decode: hyper sidecar decode, all 10
+        autoregressive slice conditionings + sidecar range decodes, LRP
+        and synthesis in a SINGLE jitted device program (one dispatch per
+        image vs the reference's ~20 host<->device crossings,
+        models/ms2020.py:391-430).  CTPU_FUSED_NATIVE=0 selects the
+        untraced host-wrapper path."""
+        import os
+
+        from compression_tpu.codec import jax_coder as jc
+        from compression_tpu.models import native_format
+
+        from compression_tpu.util import transfer as tr
+
+        if os.environ.get("CTPU_FUSED_NATIVE", "1") == "0":
+            return self._decompress_native_host(packed)
+        ns = self.model.num_slices
+        fields = packed.unpack(
+            [np.int32, np.int32, np.int32, "bytes", np.int32, np.int32]
+            + ["bytes", np.int32, np.int32] * ns)
+        x_shape, y_shape, z_shape = fields[:3]
+        z_strings, z_ep, z_ev = fields[3:6]
+        hy, wy = int(y_shape[0]), int(y_shape[1])
+        hz, wz = int(z_shape[0]), int(z_shape[1])
+        cz = int(np.prod(self.em_z.prior_shape))
+        cs = int(self.model.latent_depth) // ns
+        k_z = native_format.split_factor_from_streams(
+            len(list(z_strings)), hz)
+        z_buf, z_len = jc.from_bytes_list(list(z_strings))
+        z16 = jc.bytes_to_chunks(z_buf, z_len)
+        n_z = (wz // k_z) * cz
+        z_ei, z_evp = jc.sidecar_pad(
+            z_ep.reshape(-1, 2), z_ev, n_z, z16.shape[0] * n_z)
+
+        # Stack the slice streams: equal shapes by construction, padded
+        # to the widest slice's chunk count; per-slice sidecars padded to
+        # a common bucket.
+        slice_strings = [list(fields[6 + 3 * i]) for i in range(ns)]
+        k_y = native_format.split_factor_from_streams(
+            len(slice_strings[0]), hy)
+        n_y = (wy // k_y) * cs
+        s_y = len(slice_strings[0])
+        bufs, lens = zip(*(jc.from_bytes_list(s) for s in slice_strings))
+        width = max(b.shape[1] for b in bufs)
+        max_esc = max(fields[7 + 3 * i].size // 2 for i in range(ns))
+        y16 = np.stack([
+            jc.bytes_to_chunks(
+                np.pad(b, ((0, 0), (0, width - b.shape[1]))), None)
+            for b in bufs])
+        y_lens = np.stack(lens).astype(np.int32)
+        esc = [jc.sidecar_pad(fields[7 + 3 * i].reshape(-1, 2),
+                              fields[8 + 3 * i], n_y, s_y * n_y,
+                              bucket=max(1024, max_esc))
+               for i in range(ns)]
+        y_ei = np.stack([e[0] for e in esc])
+        y_evp = np.stack([e[1] for e in esc])
+
+        # ONE packed upload; conditioning/LRP/synthesis run in the SAME
+        # shared programs as the classic path and reconstruct(); the
+        # chained dispatches submit asynchronously.
+        in_arrays = [z16.astype(np.uint32), z_len.astype(np.int32),
+                     z_ei, z_evp, y16.astype(np.uint32), y_lens,
+                     y_ei, y_evp]
+        in_spec = tr.pack_spec(in_arrays)
+        if not hasattr(self, "_native_decoders"):
+            self._native_decoders = {}
+        key = (hy, wy, hz, wz, k_y, k_z, y16.shape[2], z16.shape[1],
+               y_ei.shape[1], z_ei.shape[0])
+        fns = self._native_decoders.get(key)
+        if fns is None:
+            em_z, em_y = self.em_z, self.em_y
+
+            def decode_z(flat):
+                (z16d, z_lnd, z_eid, z_evd, y16d, y_lnd, y_eid,
+                 y_evd) = tr.unpack_jit(flat, in_spec)
+                z_rows, z_san = em_z.decompress_sidecar_device(
+                    z16d, z_lnd, (1, wz // k_z), z_eid, z_evd)
+                z_hat = native_format.from_streams(z_rows, hz, wz, cz)
+                return z_hat, z_san, y16d, y_lnd, y_eid, y_evd
+
+            def decode_slice(s16, ln, sig, mm, ei, ev):
+                s_rows = sig[0].reshape(hy * k_y, 1, wy // k_y, cs)
+                m_rows = mm[0].reshape(hy * k_y, 1, wy // k_y, cs)
+                y_rows, san = em_y.decompress_sidecar_device(
+                    s16, ln, s_rows, ei, ev, loc=m_rows)
+                return native_format.from_streams(y_rows, hy, wy, cs), san
+
+            fns = (jax.jit(decode_z), jax.jit(decode_slice))
+            self._native_decoders[key] = fns
+        dec_z, dec_slice = fns
+        z_hat, z_san, y16d, y_lnd, y_eid, y_evd = dec_z(
+            jnp.asarray(tr.pack_host(in_arrays)))
+        latent_scales, latent_means = self._hyper_decode(self.params, z_hat)
+        y_hat_slices = []
+        y_sans = []
+        for i in range(ns):
+            support = (y_hat_slices if self.model.max_support_slices < 0
+                       else y_hat_slices[: self.model.max_support_slices])
+            mu, sigma, mean_support = self._slice_params(
+                self.params, i, latent_means, latent_scales, tuple(support),
+                (hy, wy))
+            y_hat_slice, san = dec_slice(
+                y16d[i], y_lnd[i], sigma, mu, y_eid[i], y_evd[i])
+            y_sans.append(san)
+            y_hat_slice = y_hat_slice + self._lrp(
+                self.params, i, mean_support, y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        fetched = jax.device_get(
+            (self._decode_u8(self.params, y_hat), z_san) + tuple(y_sans))
+        x_hat, z_san = fetched[0], fetched[1]
+        if self.em_y.decode_sanity_check and not (
+                z_san.all() and all(s.all() for s in fetched[2:])):
+            raise ValueError("Sanity check failed (corrupt bit streams).")
+        return x_hat[0, : x_shape[0], : x_shape[1], :]
+
+    def _decompress_native_host(self, packed) -> np.ndarray:
         from compression_tpu.codec import jax_coder as jc
 
         ns = self.model.num_slices
@@ -448,8 +705,10 @@ class MS2020Codec:
         z_buf, z_len = jc.from_bytes_list(list(z_strings))
         hz, wz = int(z_shape[0]), int(z_shape[1])
         cz = int(np.prod(self.em_z.prior_shape))
+        k_z = native_format.split_factor_from_streams(
+            len(list(z_strings)), hz)
         z_rows = self.em_z.decompress_sidecar(
-            z_buf, z_len, native_format.stream_broadcast_shape(wz, cz),
+            z_buf, z_len, native_format.stream_broadcast_shape_k(wz, k_z),
             z_ep.reshape(-1, 2), z_ev)
         z_hat = native_format.from_streams(z_rows, hz, wz, cz)
         latent_scales, latent_means = self._hyper_decode(self.params, z_hat)
@@ -476,9 +735,8 @@ class MS2020Codec:
             y_hat_slices.append(y_hat_slice)
 
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-        x_hat = self._decode(self.params, y_hat)
-        x_hat = np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
-        return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
+        x_hat = self._decode_u8(self.params, y_hat)
+        return np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
 
     def compress_on_device(self, x) -> bytes:
         """Single-jit compress: analysis, hyper coding, all slice
@@ -618,7 +876,7 @@ class MS2020Codec:
         hyper-latent drives the slice-AR loop with em_y.quantize instead
         of compress/decompress.  decompress(compress(x)) must equal this
         exactly (the reference round-trip contract at model level)."""
-        x = jnp.asarray(x, jnp.float32)[None]
+        x = jnp.asarray(x)[None]
         y, z = self._encode(self.params, x)
         y_shape = y.shape[1:-1]
         z_hat = self.em_z.quantize(z)
@@ -638,9 +896,8 @@ class MS2020Codec:
             y_hat_slices.append(y_hat_slice)
 
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-        x_hat = self._decode(self.params, y_hat)
-        x_hat = np.asarray(x_hat)[0, : x.shape[1], : x.shape[2], :]
-        return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
+        x_hat = self._decode_u8(self.params, y_hat)
+        return np.asarray(x_hat)[0, : x.shape[1], : x.shape[2], :]
 
     def decompress(self, container: bytes) -> np.ndarray:
         packed = PackedTensors(container)
@@ -669,9 +926,8 @@ class MS2020Codec:
             y_hat_slices.append(y_hat_slice)
 
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-        x_hat = self._decode(self.params, y_hat)
-        x_hat = np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
-        return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
+        x_hat = self._decode_u8(self.params, y_hat)
+        return np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
 
 
 def main(argv=None):

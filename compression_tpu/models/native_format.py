@@ -17,6 +17,7 @@ back to wider streams).
 """
 
 import jax.numpy as jnp
+import numpy as np
 
 MAX_ELEMS = 512
 
@@ -26,6 +27,22 @@ def split_factor(w: int, c: int, max_elems: int = MAX_ELEMS) -> int:
     k = 1
     while (w // k) * c > max_elems and w % (2 * k) == 0:
         k *= 2
+    return k
+
+
+def split_factor_from_streams(num_streams: int, h: int) -> int:
+    """Split factor a container was actually written with.
+
+    Decoders derive k from the container's stream COUNT rather than
+    re-deriving it from (W, C): containers written before the stream-split
+    landed (always k=1) and any future retuning of MAX_ELEMS stay
+    decodable (ADVICE r3).
+    """
+    k, rem = divmod(int(num_streams), int(h))
+    if rem or k < 1:
+        raise ValueError(
+            f"Native container stream count {num_streams} is not a "
+            f"positive multiple of the latent height {h}.")
     return k
 
 
@@ -41,6 +58,26 @@ def stream_broadcast_shape(w: int, c: int):
     return (1, w // split_factor(int(w), int(c)))
 
 
+def stream_broadcast_shape_k(w: int, k: int):
+    """broadcast_shape for streams written with a known split factor."""
+    return (1, int(w) // int(k))
+
+
 def from_streams(rows, h: int, w: int, c: int):
     """[H*k, 1, W//k, C] decoded rows -> [1, H, W, C]."""
     return jnp.asarray(rows).reshape(1, h, w, c)
+
+
+def esc_to_pairs(esc_idx, esc_val, count, num_elements: int):
+    """Device sidecar (flat, budget-padded) -> container (pairs, vals).
+
+    Inverse of jax_coder.sidecar_pad: keeps the first ``count`` entries
+    and splits flat positions into (stream, element) pairs — the exact
+    layout the host compress_sidecar writes (np.nonzero order).
+    """
+    k = int(count)
+    idx = np.asarray(esc_idx)[:k].astype(np.int64)
+    pairs = np.stack(
+        [idx // int(num_elements), idx % int(num_elements)],
+        axis=1).astype(np.int32)
+    return pairs, np.asarray(esc_val)[:k].astype(np.int32)

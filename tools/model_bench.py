@@ -157,12 +157,23 @@ def _build(name, size):
     return codec_cls(model, params)
 
 
-def bench_model(name, size=512, repeats=5):
+def bench_model(name, size=512, repeats=3):
     codec = _build(name, size)
     rng = np.random.RandomState(7)
     x8 = rng.randint(0, 256, (size, size, 3)).astype(np.uint8)
 
     rows = {"image": f"{size}x{size}", "weights": "random-init seed 0"}
+
+    # Native (chained-dispatch sidecar container) first: the headline
+    # TPU-native path.
+    native = codec.compress_native(x8)
+    rows["native_bytes"] = len(native)
+    rows["native_compress"] = _median_spread(
+        lambda: codec.compress_native(x8), repeats)
+    rows["native_decompress"] = _median_spread(
+        lambda: codec.decompress(native), repeats)
+    assert np.array_equal(codec.decompress(native),
+                          codec.reconstruct(x8)), f"{name} native roundtrip"
 
     container = codec.compress(x8)
     rows["classic_bytes"] = len(container)
@@ -174,7 +185,11 @@ def bench_model(name, size=512, repeats=5):
     assert np.array_equal(codec.decompress(container),
                           codec.reconstruct(x8)), f"{name} classic roundtrip"
 
-    if hasattr(codec, "compress_on_device"):
+    # The single-jit classic-format device paths (r3's experiment,
+    # superseded by the chained native paths) cost minutes of remote XLA
+    # compile; opt in via BENCH_DEVICE_PATHS=1.
+    if (os.environ.get("BENCH_DEVICE_PATHS", "0") == "1"
+            and hasattr(codec, "compress_on_device")):
         dev_container = codec.compress_on_device(x8)
         assert codec.decompress(dev_container) is not None
         rows["device_compress"] = _median_spread(
@@ -185,15 +200,6 @@ def bench_model(name, size=512, repeats=5):
                               codec.decompress(container)), \
             f"{name} device decode parity"
 
-    native = codec.compress_native(x8)
-    rows["native_bytes"] = len(native)
-    rows["native_compress"] = _median_spread(
-        lambda: codec.compress_native(x8), repeats)
-    rows["native_decompress"] = _median_spread(
-        lambda: codec.decompress(native), repeats)
-    assert np.array_equal(codec.decompress(native),
-                          codec.reconstruct(x8)), f"{name} native roundtrip"
-
     rows["transform"] = _transform_times(codec, x8)
     for key in list(rows):
         if isinstance(rows[key], dict) and "median_ms" in rows[key]:
@@ -202,10 +208,47 @@ def bench_model(name, size=512, repeats=5):
     return rows
 
 
-def bench_all(size=512, repeats=5, models=("bls2017", "bmshj2018",
-                                           "ms2020")):
+def _merge_ref_baseline(out):
+    """Adds the recorded reference-stack rows (tools/ref_model_bench.py,
+    docs/ref_model_baseline.json) and repo-vs-reference ratios."""
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "ref_model_baseline.json")
+    if not os.path.exists(path):
+        return out
+    import json
+    ref = json.load(open(path))
+    for name, rows in out.items():
+        r = ref.get(name)
+        if not isinstance(r, dict) or "compress" not in r:
+            continue
+        rows["ref_model"] = {
+            "compress_ms": r["compress"]["median_ms"],
+            "decompress_ms": r["decompress"]["median_ms"],
+            "bytes": r.get("bytes"),
+            "host": ref.get("host", ""),
+            "recorded_by": "tools/ref_model_bench.py",
+        }
+        for path_key, ref_key in (("native_compress", "compress_ms"),
+                                  ("native_decompress", "decompress_ms")):
+            if path_key in rows and "median_ms" in rows[path_key]:
+                rows[path_key]["speedup_vs_reference"] = round(
+                    rows["ref_model"][ref_key]
+                    / rows[path_key]["median_ms"], 2)
+    return out
+
+
+def bench_all(size=512, repeats=3, models=("ms2020", "bls2017",
+                                           "bmshj2018"), deadline=None):
+    """deadline: absolute time.time() after which remaining families are
+    skipped (the driver kills bench.py at a fixed budget; a partial
+    model table beats a truncated artifact)."""
     out = {}
     for name in models:
+        if deadline is not None and time.time() > deadline:
+            out[name] = {"skipped": "bench deadline reached"}
+            print(f"model bench {name}: skipped (deadline)",
+                  file=sys.stderr, flush=True)
+            continue
         t0 = time.time()
         try:
             out[name] = bench_model(name, size=size, repeats=repeats)
@@ -216,7 +259,7 @@ def bench_all(size=512, repeats=5, models=("bls2017", "bmshj2018",
             out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
         print(f"model bench {name}: {out[name]}", file=sys.stderr,
               flush=True)
-    return out
+    return _merge_ref_baseline(out)
 
 
 if __name__ == "__main__":
