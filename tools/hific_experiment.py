@@ -21,7 +21,9 @@ training warm-starts from a converged 'mselpips' autoencoder):
 Writes HIFIC_PARITY.json at the repo root.
 
 Usage (TPU): python tools/hific_experiment.py
-  env: HIFIC_PRE (2500), HIFIC_FT (1500), HIFIC_EVAL (384)
+  env: HIFIC_PRE (2500), HIFIC_FT (1500), HIFIC_EVAL (384),
+       HIFIC_BASE (16 base filters; VERDICT r3 item 7 mid config = 48),
+       HIFIC_PATCH (64; mid config = 128), HIFIC_OUT (HIFIC_PARITY.json)
 """
 
 import json
@@ -38,15 +40,19 @@ sys.path.insert(0, os.path.join(
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_comp_cache"))
 
-PATCH = 64
+import os as _os
+
+PATCH = int(_os.environ.get("HIFIC_PATCH", "64"))
 BATCH = 8
+BASE = int(_os.environ.get("HIFIC_BASE", "16"))
 
 
 def small_cfg(use_gan, target=0.30):
     from compression_tpu.models import hific
     return hific.HiFiCConfig(
-        num_down=3, num_filters_base=16, num_filters_bottleneck=48,
-        num_residual_blocks=3, hyper_filters=48,
+        num_down=3, num_filters_base=BASE,
+        num_filters_bottleneck=max(48, BASE),
+        num_residual_blocks=3, hyper_filters=max(48, BASE),
         target=target,                 # rate target (bpp)
         schedule_steps=1000,
         CP=(0.1 * 1.5 if use_gan else 0.0),
@@ -239,8 +245,9 @@ def main():
             - rows["gan"]["hf_spectrum_err_db"], 3),
         "wall_s": round(time.time() - t0, 1),
     }
-    path = os.path.join(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))), "HIFIC_PARITY.json")
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        os.environ.get("HIFIC_OUT", "HIFIC_PARITY.json"))
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1), flush=True)
