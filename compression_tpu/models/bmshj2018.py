@@ -263,13 +263,33 @@ class BMSHJ2018Codec:
         """
         import os
 
+        if os.environ.get("CTPU_FUSED_NATIVE", "1") == "0":
+            return self._compress_native_host(jnp.asarray(x)[None])
+        flat_dev, meta = self._native_submit(x)
+        return self._native_finalize(np.asarray(flat_dev), meta, x)
+
+    def compress_native_many(self, images) -> list:
+        """Throughput mode: pipelines N images through the async dispatch
+        queue (see BLS2017Codec.compress_native_many); containers are
+        byte-identical to per-image compress_native."""
+        import os
+
+        if os.environ.get("CTPU_FUSED_NATIVE", "1") == "0":
+            return [self._compress_native_host(jnp.asarray(x)[None])
+                    for x in images]
+        submitted = [self._native_submit(x) for x in images]
+        flats = jax.device_get([s[0] for s in submitted])
+        return [self._native_finalize(f, s[1], x)
+                for (f, s), x in zip(zip(flats, submitted), images)]
+
+    def _native_submit(self, x):
+        """Uploads one image and submits its native-path programs;
+        returns (device flat output, meta) without any blocking fetch."""
         from compression_tpu.codec import jax_coder
         from compression_tpu.models import native_format
         from compression_tpu.util import transfer as tr
 
         x = jnp.asarray(x)[None]
-        if os.environ.get("CTPU_FUSED_NATIVE", "1") == "0":
-            return self._compress_native_host(x)
         # All transforms run in the SAME shared programs as compress()
         # and reconstruct(); the coding jits below touch floats only
         # through IEEE-exact ops, so every entry point agrees bit-for-bit
@@ -310,8 +330,17 @@ class BMSHJ2018Codec:
             cached = (jax.jit(encode_coding), spec_y + spec_z,
                       gy, n_y, gz, n_z)
             self._native_encoders[(y.shape, z.shape)] = cached
-        fn, spec, (hy, wy, cy), n_y, (hz, wz, cz), n_z = cached
-        flat = np.asarray(fn(y, indexes, z))
+        fn, spec, gy, n_y, gz, n_z = cached
+        return (fn(y, indexes, z),
+                (spec, gy, n_y, gz, n_z,
+                 tuple(int(s) for s in x.shape[1:-1])))
+
+    def _native_finalize(self, flat, meta, x) -> bytes:
+        from compression_tpu.codec import jax_coder
+        from compression_tpu.models import native_format
+        from compression_tpu.util import transfer as tr
+
+        spec, (hy, wy, cy), n_y, (hz, wz, cz), n_z, x_hw = meta
         (y_buf, y_len, y_ei, y_ev, y_cnt, y_ok,
          z_buf, z_len, z_ei, z_ev, z_cnt, z_ok) = tr.unpack_host(
             flat, spec)
@@ -321,7 +350,7 @@ class BMSHJ2018Codec:
                 "compress_native escape budget exceeded; falling back to "
                 "the host sidecar path for this image.",
                 RuntimeWarning, stacklevel=2)
-            return self._compress_native_host(x)
+            return self._compress_native_host(jnp.asarray(x)[None])
         y_pairs, y_vals = native_format.esc_to_pairs(y_ei, y_ev, y_cnt, n_y)
         z_pairs, z_vals = native_format.esc_to_pairs(z_ei, z_ev, z_cnt, n_z)
         packed = PackedTensors()
@@ -329,7 +358,7 @@ class BMSHJ2018Codec:
         packed.pack([
             jax_coder.to_bytes_list(y_buf, y_len),
             jax_coder.to_bytes_list(z_buf, z_len),
-            np.asarray(x.shape[1:-1], np.int32),
+            np.asarray(x_hw, np.int32),
             np.asarray((hy, wy), np.int32),
             np.asarray((hz, wz), np.int32),
             y_pairs.ravel(), y_vals, z_pairs.ravel(), z_vals,

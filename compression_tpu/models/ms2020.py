@@ -397,70 +397,110 @@ class MS2020Codec:
         """
         import os
 
-        from compression_tpu.codec import jax_coder as jc
-        from compression_tpu.models import native_format
-        from compression_tpu.util import transfer as tr
-
-        x = jnp.asarray(x)[None]
         if os.environ.get("CTPU_FUSED_NATIVE", "1") == "0":
-            return self._compress_native_host(x)
-        # All transforms (analysis, hyper, slice conditioning, LRP) run
-        # in the SAME shared programs as compress()/reconstruct(); only
-        # the coding jits differ, and those touch floats through IEEE-
-        # exact ops alone.  The ~33 chained dispatches submit
-        # asynchronously (measured ~0.3-0.8 ms marginal each through the
-        # tunnel); device arrays never cross the host until the single
-        # packed fetch at the end.
+            return self._compress_native_host(jnp.asarray(x)[None])
+        flat_dev, meta = self._native_submit(x)
+        return self._native_finalize(np.asarray(flat_dev), meta, x)
+
+    def compress_native_many(self, images) -> list:
+        """Throughput mode: pipelines N images through the async dispatch
+        queue (see BLS2017Codec.compress_native_many); containers are
+        byte-identical to per-image compress_native."""
+        import os
+
+        if os.environ.get("CTPU_FUSED_NATIVE", "1") == "0":
+            return [self._compress_native_host(jnp.asarray(x)[None])
+                    for x in images]
+        submitted = [self._native_submit(x) for x in images]
+        flats = jax.device_get([s[0] for s in submitted])
+        return [self._native_finalize(f, s[1], x)
+                for (f, s), x in zip(zip(flats, submitted), images)]
+
+    def _native_submit(self, x):
+        """Uploads one image and submits its native-path programs;
+        returns (device flat output, meta) without any blocking fetch.
+
+        All transforms (analysis, hyper, slice conditioning, LRP) run
+        in the SAME shared programs as compress()/reconstruct(); only
+        the coding jits differ, and those touch floats through IEEE-
+        exact ops alone.  The ~33 chained dispatches submit
+        asynchronously (measured ~0.3-0.8 ms marginal each through the
+        tunnel); device arrays never cross the host until the single
+        packed fetch in _native_finalize.
+        """
+        x = jnp.asarray(x)[None]
         y, z = self._encode(self.params, x)
         y_shape = tuple(int(s) for s in y.shape[1:-1])
         cached = self._native_coders(y.shape, z.shape)
         (enc_z, enc_slice, _, _, geom) = cached
-        (hy, wy, cy), n_y, (hz, wz, cz), n_z, spec_z, spec_y = geom
 
         z_out = enc_z(z)
         z_hat = self.em_z.quantize(z)
         latent_scales, latent_means = self._hyper_decode(self.params, z_hat)
         y_slices = jnp.split(y, self.model.num_slices, axis=-1)
         y_hat_slices = []
-        slice_outs = []
+        mus, sigmas = [], []
         for i, y_slice in enumerate(y_slices):
             support = (y_hat_slices if self.model.max_support_slices < 0
                        else y_hat_slices[: self.model.max_support_slices])
             mu, sigma, mean_support = self._slice_params(
                 self.params, i, latent_means, latent_scales, tuple(support),
                 y_shape)
-            slice_outs.append(enc_slice(y_slice, sigma, mu))
+            mus.append(mu)
+            sigmas.append(sigma)
             y_hat_slice = self.em_y.quantize(y_slice, mu)
             y_hat_slice = y_hat_slice + self._lrp(
                 self.params, i, mean_support, y_hat_slice)
             y_hat_slices.append(y_hat_slice)
 
+        # Encode has no decode dependency between slices (conditioning
+        # uses quantize, not the coder), so ALL slices code in ONE wide
+        # call — 10x the coder lanes of a per-slice call, one program
+        # instead of ten (measured 26.7 -> ~4 ms device).  Streams are
+        # independent, so the per-stream bytes — and the container —
+        # are identical to per-slice coding.
+        slices_out = enc_slice(y_slices, sigmas, mus)
         # ONE packed fetch for the hyper stream and all slice streams.
-        flat = np.asarray(self._pack_fetch(
-            [a for out in [z_out] + slice_outs for a in out]))
-        outs = tr.unpack_host(flat, spec_z + spec_y * len(slice_outs))
+        flat_dev = self._pack_fetch(list(z_out) + list(slices_out))
+        return flat_dev, (geom, len(y_slices),
+                          tuple(int(s) for s in x.shape[1:-1]))
+
+    def _native_finalize(self, flat, meta, x) -> bytes:
+        from compression_tpu.codec import jax_coder as jc
+        from compression_tpu.models import native_format
+        from compression_tpu.util import transfer as tr
+
+        geom, ns, x_hw = meta
+        (hy, wy, cy), n_y, (hz, wz, cz), n_z, spec_z, spec_y, s_y = geom
+        outs = tr.unpack_host(flat, spec_z + spec_y)
         z_vals = outs[:6]
-        slice_vals = [outs[6 + 6 * i: 12 + 6 * i]
-                      for i in range(len(slice_outs))]
-        ok = bool(z_vals[5]) and all(bool(s[5]) for s in slice_vals)
+        (sl_buf, sl_lens, sl_ei, sl_ev, sl_cnt, sl_ok) = outs[6:12]
+        ok = bool(z_vals[5]) and bool(sl_ok)
         if not ok:
             import warnings
             warnings.warn(
                 "compress_native escape budget exceeded; falling back to "
                 "the host sidecar path for this image.",
                 RuntimeWarning, stacklevel=2)
-            return self._compress_native_host(x)
+            return self._compress_native_host(jnp.asarray(x)[None])
         z_pairs, z_vv = native_format.esc_to_pairs(
             z_vals[2], z_vals[3], z_vals[4], n_z)
+        # Split the stacked slice streams/sidecars back into per-slice
+        # container fields (stream s belongs to slice s // s_y).
+        pairs_all, vals_all = native_format.esc_to_pairs(
+            sl_ei, sl_ev, sl_cnt, n_y)
         slice_fields = []
-        for s in slice_vals:
-            pairs, vals = native_format.esc_to_pairs(s[2], s[3], s[4], n_y)
-            slice_fields += [jc.to_bytes_list(s[0], s[1]),
-                             pairs.ravel(), vals]
+        for i in range(ns):
+            lo, hi = i * s_y, (i + 1) * s_y
+            m = (pairs_all[:, 0] >= lo) & (pairs_all[:, 0] < hi)
+            pairs_i = pairs_all[m] - np.asarray([lo, 0], np.int32)
+            slice_fields += [
+                jc.to_bytes_list(sl_buf[lo:hi], sl_lens[lo:hi]),
+                pairs_i.ravel(), vals_all[m]]
         packed = PackedTensors()
         packed.model = self.MODEL_ID
         packed.pack(
-            [np.asarray(x.shape[1:-1], np.int32),
+            [np.asarray(x_hw, np.int32),
              np.asarray((hy, wy), np.int32),
              np.asarray((hz, wz), np.int32),
              jc.to_bytes_list(z_vals[0], z_vals[1]),
@@ -487,34 +527,48 @@ class MS2020Codec:
         if cached is not None:
             return cached
 
-        def geom_of(shape, channels):
+        def geom_of(shape, channels, groups=1):
+            """Stream geometry; ``groups`` stacks that many same-shape
+            tensors into one wide coding call."""
             h, w = int(shape[1]), int(shape[2])
             c = int(channels)
             k = native_format.split_factor(w, c)
             s_streams, n = h * k, (w // k) * c
-            budget = jc.sidecar_budget(s_streams * n)
+            budget = jc.sidecar_budget(groups * s_streams * n)
             num_steps = max(jc._round_up(n, 64), 64)
             out_w = jc._round_up(2 * num_steps + 2, 4)
-            spec = [((s_streams, out_w), "u8"), ((s_streams,), "i32"),
+            spec = [((groups * s_streams, out_w), "u8"),
+                    ((groups * s_streams,), "i32"),
                     ((budget,), "i32"), ((budget,), "i32"),
                     ((), "i32"), ((), "bool")]
-            return (h, w, c), n, budget, spec
+            return (h, w, c), n, s_streams, spec
 
-        cs = int(y_full[3]) // self.model.num_slices
-        gy, n_y, budget_y, spec_y = geom_of(y_full, cs)
-        gz, n_z, budget_z, spec_z = geom_of(z_full, z_full[3])
+        ns = self.model.num_slices
+        cs = int(y_full[3]) // ns
+        gy, n_y, s_y, spec_y = geom_of(y_full, cs, groups=ns)
+        gz, n_z, _, spec_z = geom_of(z_full, z_full[3])
         em_y, em_z = self.em_y, self.em_z
+        budget_z = spec_z[2][0][0]
+        budget_y = spec_y[2][0][0]
 
         enc_z = jax.jit(lambda zz: em_z.compress_sidecar_device(
             native_format.to_streams(zz), escape_budget=budget_z))
-        enc_slice = jax.jit(
-            lambda yy, sig, mm: em_y.compress_sidecar_device(
-                native_format.to_streams(yy),
-                native_format.to_streams(sig),
-                loc=native_format.to_streams(mm),
-                escape_budget=budget_y))
-        geom = (gy, n_y, gz, n_z, spec_z, spec_y)
-        cached = (enc_z, enc_slice, None, None, geom)
+
+        def enc_slices(ys, sigs, mms):
+            # One wide coding call over all slices' streams (encode has
+            # no inter-slice decode dependency; stream bytes independent
+            # of grouping).
+            rows = jnp.concatenate(
+                [native_format.to_streams(t) for t in ys])
+            s_rows = jnp.concatenate(
+                [native_format.to_streams(t) for t in sigs])
+            m_rows = jnp.concatenate(
+                [native_format.to_streams(t) for t in mms])
+            return em_y.compress_sidecar_device(
+                rows, s_rows, loc=m_rows, escape_budget=budget_y)
+
+        geom = (gy, n_y, gz, n_z, spec_z, spec_y, s_y)
+        cached = (enc_z, jax.jit(enc_slices), None, None, geom)
         self._native_coder_cache[key] = cached
         return cached
 

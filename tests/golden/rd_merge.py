@@ -70,20 +70,29 @@ def main():
                      "smooth base + shapes + non-stationary texture)",
            "families": {}}
 
-    # Per-family cross-implementation table.
+    # Per-family cross-implementation table.  Round 4: the table uses
+    # the BEST (rd_out_ord-overridden, post-init-fix, highest-step)
+    # entry per (family, impl, lambda); each row records both sides'
+    # step counts and whether the pair is step-matched, so the delta
+    # columns are only quoted at matched convergence.
+    merged = ordering_points(pts)
     for fam in FAMILIES:
-        tf_pts = {p["lmbda"]: p for p in pts.get((fam, "tf"), [])}
-        jx_pts = {p["lmbda"]: p for p in pts.get((fam, "jax"), [])}
+        tf_pts = {p["lmbda"]: p for p in merged.get((fam, "tf"), [])}
+        jx_pts = {p["lmbda"]: p for p in merged.get((fam, "jax"), [])}
         rows = []
         for lmbda in sorted(set(tf_pts) | set(jx_pts)):
             row = {"lambda": lmbda}
             if lmbda in tf_pts:
                 row["ref_bpp"] = tf_pts[lmbda]["bpp"]
                 row["ref_psnr_db"] = tf_pts[lmbda]["psnr_db"]
+                row["ref_steps"] = tf_pts[lmbda]["steps"]
             if lmbda in jx_pts:
                 row["tpu_bpp"] = jx_pts[lmbda]["bpp"]
                 row["tpu_psnr_db"] = jx_pts[lmbda]["psnr_db"]
+                row["tpu_steps"] = jx_pts[lmbda]["steps"]
             if lmbda in tf_pts and lmbda in jx_pts:
+                row["matched_steps"] = (
+                    row["ref_steps"] == row["tpu_steps"])
                 row["delta_psnr_db"] = round(
                     row["tpu_psnr_db"] - row["ref_psnr_db"], 3)
                 row["delta_bpp_pct"] = round(
@@ -91,13 +100,7 @@ def main():
                     / max(row["ref_bpp"], 1e-9), 2)
             rows.append(row)
         if rows:
-            psnrs = [r["psnr_db"] for r in
-                     (tf_pts or jx_pts).values()]
-            out["families"][fam] = {
-                "points": rows,
-                "steps": (list(tf_pts.values()) or
-                          list(jx_pts.values()))[0]["steps"],
-            }
+            out["families"][fam] = {"points": rows}
 
     # Better-converged re-run pairs (rd_out_ord): report cross-impl
     # deltas where BOTH impls have a record at identical steps there.

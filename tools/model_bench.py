@@ -205,6 +205,20 @@ def bench_model(name, size=512, repeats=3):
         if isinstance(rows[key], dict) and "median_ms" in rows[key]:
             rows[key]["images_per_s"] = round(
                 1e3 / rows[key]["median_ms"], 2)
+
+    # Throughput mode: N images pipelined through the async dispatch
+    # queue (per-image tunnel RTTs overlap).  images_per_s here is for
+    # the BATCH, not one image.
+    if hasattr(codec, "compress_native_many"):
+        imgs = [rng.randint(0, 256, (size, size, 3)).astype(np.uint8)
+                for _ in range(8)]
+        outs = codec.compress_native_many(imgs)  # warm + parity check
+        assert outs[0] == codec.compress_native(imgs[0]), \
+            f"{name} batch parity"
+        t = _median_spread(lambda: codec.compress_native_many(imgs),
+                           max(repeats - 1, 1))
+        t["images_per_s"] = round(8e3 / t["median_ms"], 2)
+        rows["native_compress_batch8"] = t
     return rows
 
 

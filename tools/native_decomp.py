@@ -111,22 +111,24 @@ def decompose(name, size=512):
         y_shape = tuple(int(s) for s in y.shape[1:-1])
         enc_z, enc_slice, _, _, geom = codec._native_coders(
             y.shape, z.shape)
-        (hy, wy, cs), n_y, (hz, wz, cz), n_z, _, _ = geom
+        (hy, wy, cs), n_y, (hz, wz, cz), n_z = geom[:4]
         z_hat = codec.em_z.quantize(z)
         ls, lm = codec._hyper_decode(codec.params, z_hat)
         mu, sigma, _ = codec._slice_params(
             codec.params, 0, lm, ls, (), y_shape)
-        y_slice = jnp.split(y, codec.model.num_slices, axis=-1)[0]
+        ns = codec.model.num_slices
+        y_slice = jnp.split(y, ns, axis=-1)[0]
 
         enc_z_ms = devms(lambda k: kloop(
             lambda zz: enc_z(zz), lambda o: o[1].reshape(-1)[:1])(
                 (z,), k))
+        # All slices code in ONE wide call since round 4 (replicating
+        # slice-0's conditioning is timing-equivalent: same geometry).
         enc_s_ms = devms(lambda k: kloop(
-            lambda yy, ss, mm: enc_slice(yy, ss, mm),
+            lambda yy, ss, mm: enc_slice(
+                [yy] * ns, [ss] * ns, [mm] * ns),
             lambda o: o[1].reshape(-1)[:1])((y_slice, sigma, mu), k))
-        ns = codec.model.num_slices
-        out["coder_encode_device_ms"] = round(
-            enc_z_ms + ns * enc_s_ms, 3)
+        out["coder_encode_device_ms"] = round(enc_z_ms + enc_s_ms, 3)
         # Conditioning: one slice_params + lrp pass x num_slices.
         cond_ms = devms(lambda k: kloop(
             lambda lmm, lss: codec.model.apply(
