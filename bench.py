@@ -421,7 +421,7 @@ def main():
     # rc=124/parsed=null); every block after the headline respects this
     # deadline so a partial table still produces a parseable artifact.
     t_start = time.time()
-    deadline = t_start + float(os.environ.get("BENCH_DEADLINE_S", "660"))
+    deadline = t_start + float(os.environ.get("BENCH_DEADLINE_S", "640"))
     table, symbols, cdf = make_workload()
     value, t_enc, t_dec, spread = bench_tpu(table, symbols)
     n = NUM_STREAMS * NUM_ELEMENTS
@@ -434,6 +434,13 @@ def main():
         print(f"indexed bench failed: {e}", file=sys.stderr)
         indexed = {"indexed_bench_error": str(e)[:200]}
     print(f"indexed: {indexed}", file=sys.stderr)
+    # The reference-coder baseline is the headline's denominator; measure
+    # it BEFORE the model rows so a deadline hit cannot force the
+    # fallback constant.
+    baseline = _measure_baseline(cdf, symbols)
+    if baseline is None:
+        baseline = FALLBACK_BASELINE_SYMBOLS_PER_S
+    host_socket = _measure_host_socket(table, symbols)
     models = {}
     if os.environ.get("BENCH_MODELS", "1") != "0":
         # Model-level rows (VERDICT r2 item 2 / r3 items 1+3): images/s
@@ -447,14 +454,6 @@ def main():
                 deadline=deadline)
         except Exception as e:  # noqa: BLE001 — secondary metric
             models = {"model_bench_error": str(e)[:200]}
-    if time.time() < deadline:
-        baseline = _measure_baseline(cdf, symbols)
-    else:
-        baseline = None
-    if baseline is None:
-        baseline = FALLBACK_BASELINE_SYMBOLS_PER_S
-    host_socket = (_measure_host_socket(table, symbols)
-                   if time.time() < deadline + 60 else None)
     extra = dict(indexed)
     extra["stability"] = spread
     if models:
