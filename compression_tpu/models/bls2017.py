@@ -383,16 +383,61 @@ class BLS2017Codec:
             y_hat = native_format.from_streams(y_rows, h, w, c)
             x_hat = self._synthesis_u8(self.params, y_hat)
             return np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
+        x_hat, sanity, x_hw = self._native_dec_submit(packed)
+        x_hat, sanity = jax.device_get((x_hat, sanity))
+        if self.em.decode_sanity_check and not sanity.all():
+            raise ValueError("Sanity check failed (corrupt bit streams).")
+        return x_hat[0, : x_hw[0], : x_hw[1], :]
+
+    def decompress_native_many(self, containers) -> list:
+        """Throughput mode: pipelines N native containers through the
+        async dispatch queue (mirrors compress_native_many).  Outputs are
+        identical to per-container decompress."""
+        import os
+
+        if os.environ.get("CTPU_FUSED_NATIVE", "1") == "0":
+            return [self.decompress(c) for c in containers]
+        submitted = []
+        for c in containers:
+            packed = PackedTensors(c)
+            assert packed.model == self.MODEL_ID
+            if packed.num_tensors != 5:  # classic container: no pipeline
+                submitted.append((None, None, c))
+                continue
+            x_hat, sanity, x_shape = self._native_dec_submit(packed)
+            submitted.append((x_hat, sanity, x_shape))
+        fetched = jax.device_get(
+            [(s[0], s[1]) for s in submitted if s[0] is not None])
+        outs, it = [], iter(fetched)
+        for s in submitted:
+            if s[0] is None:
+                outs.append(self.decompress(s[2]))
+                continue
+            x_hat, sanity = next(it)
+            if self.em.decode_sanity_check and not sanity.all():
+                raise ValueError(
+                    "Sanity check failed (corrupt bit streams).")
+            outs.append(x_hat[0, : s[2][0], : s[2][1], :])
+        return outs
+
+    def _native_dec_submit(self, packed):
+        """Submits one native container's decode programs; returns
+        (device x_hat u8, device sanity, x_shape) with no blocking
+        fetch.  The tail of _decompress_native refactored for
+        pipelining."""
+        from compression_tpu.models import native_format
         from compression_tpu.util import transfer as tr
 
+        strings, x_shape, y_shape, esc_flat, esc_val = packed.unpack(
+            ["bytes", np.int32, np.int32, np.int32, np.int32])
+        buf, lens = jax_coder.from_bytes_list(strings)
+        h, w = int(y_shape[0]), int(y_shape[1])
+        c = int(np.prod(self.em.prior_shape))
+        k = native_format.split_factor_from_streams(len(strings), h)
         n = (w // k) * c
-        s_streams = len(strings)
         src16 = jax_coder.bytes_to_chunks(buf, lens)
         esc_idx, esc_v = jax_coder.sidecar_pad(
-            esc_flat.reshape(-1, 2), esc_val, n, s_streams * n)
-        # Container fields cross the tunnel as ONE packed upload; the
-        # coding program hands y_hat to the SAME synthesis program the
-        # classic path and reconstruct() use (bit-identical outputs).
+            esc_flat.reshape(-1, 2), esc_val, n, len(strings) * n)
         in_arrays = [src16.astype(np.uint32), lens.astype(np.int32),
                      esc_idx, esc_v]
         in_spec = tr.pack_spec(in_arrays)
@@ -410,11 +455,8 @@ class BLS2017Codec:
             fn = jax.jit(decode_streams_only)
             self._native_decoders[key] = fn
         y_hat, sanity = fn(jnp.asarray(tr.pack_host(in_arrays)))
-        x_hat, sanity = jax.device_get(
-            (self._synthesis_u8(self.params, y_hat), sanity))
-        if self.em.decode_sanity_check and not sanity.all():
-            raise ValueError("Sanity check failed (corrupt bit streams).")
-        return x_hat[0, : x_shape[0], : x_shape[1], :]
+        return (self._synthesis_u8(self.params, y_hat), sanity,
+                (int(x_shape[0]), int(x_shape[1])))
 
 
 def main(argv=None):

@@ -426,11 +426,41 @@ class BMSHJ2018Codec:
         x_hat = self._decode_u8(self.params, y_hat)
         return np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
 
+    def decompress_native_many(self, containers) -> list:
+        """Throughput mode: pipelines N native containers through the
+        async dispatch queue (mirrors compress_native_many)."""
+        import os
+
+        if os.environ.get("CTPU_FUSED_NATIVE", "1") == "0":
+            return [self.decompress(c) for c in containers]
+        submitted = []
+        for c in containers:
+            packed = PackedTensors(c)
+            assert packed.model == self.MODEL_ID
+            if packed.num_tensors != 9:  # classic container: no pipeline
+                submitted.append((None, c))
+                continue
+            submitted.append((self._native_dec_submit(packed), c))
+        fetched = jax.device_get(
+            [s[0][:3] for s in submitted if s[0] is not None])
+        outs, it = [], iter(fetched)
+        for s in submitted:
+            if s[0] is None:
+                outs.append(self.decompress(s[1]))
+                continue
+            x_hat, z_san, y_san = next(it)
+            if self.em.decode_sanity_check and not (
+                    z_san.all() and y_san.all()):
+                raise ValueError(
+                    "Sanity check failed (corrupt bit streams).")
+            x_hw = s[0][3]
+            outs.append(x_hat[0, : x_hw[0], : x_hw[1], :])
+        return outs
+
     def _decompress_native(self, packed) -> np.ndarray:
-        """Native-container decode: hyper sidecar decode, hyper synthesis,
-        latent sidecar decode and synthesis in a SINGLE jitted device
-        program (one dispatch); CTPU_FUSED_NATIVE=0 selects the untraced
-        host-wrapper path."""
+        """Native-container decode: chained-dispatch sidecar decodes with
+        single-transfer container IO; CTPU_FUSED_NATIVE=0 selects the
+        untraced host-wrapper path."""
         import os
 
         from compression_tpu.codec import jax_coder
@@ -464,8 +494,33 @@ class BMSHJ2018Codec:
             x_hat = self._decode_u8(self.params, y_hat)
             return np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
 
+        x_hat, z_san, y_san, x_hw = self._native_dec_submit(packed)
+        x_hat, z_san, y_san = jax.device_get((x_hat, z_san, y_san))
+        if self.em.decode_sanity_check and not (
+                z_san.all() and y_san.all()):
+            raise ValueError("Sanity check failed (corrupt bit streams).")
+        return x_hat[0, : x_hw[0], : x_hw[1], :]
+
+    def _native_dec_submit(self, packed):
+        """Submits one native container's decode programs; returns
+        (device x_hat u8, device z/y sanity, x_shape) with no blocking
+        fetch."""
+        from compression_tpu.codec import jax_coder
+        from compression_tpu.models import native_format
         from compression_tpu.util import transfer as tr
 
+        (strings, side_strings, x_shape, y_shape, z_shape, y_ep, y_ev,
+         z_ep, z_ev) = packed.unpack(
+            ["bytes", "bytes", np.int32, np.int32, np.int32,
+             np.int32, np.int32, np.int32, np.int32])
+        hy, wy = int(y_shape[0]), int(y_shape[1])
+        hz, wz = int(z_shape[0]), int(z_shape[1])
+        cz = int(np.prod(self.side_em.prior_shape))
+        k_z = native_format.split_factor_from_streams(
+            len(side_strings), hz)
+        k_y = native_format.split_factor_from_streams(len(strings), hy)
+        z_buf, z_len = jax_coder.from_bytes_list(side_strings)
+        y_buf, y_len = jax_coder.from_bytes_list(strings)
         n_z = (wz // k_z) * cz
         z16 = jax_coder.bytes_to_chunks(z_buf, z_len)
         y16 = jax_coder.bytes_to_chunks(y_buf, y_len)
@@ -514,12 +569,8 @@ class BMSHJ2018Codec:
         indexes = self._hyper_decode(self.params, z_hat)
         indexes = indexes[:, :hy, :wy, :]
         y_hat, y_san = dec_y(indexes, y16d, y_lnd, y_eid, y_evd)
-        x_hat, z_san, y_san = jax.device_get(
-            (self._decode_u8(self.params, y_hat), z_san, y_san))
-        if self.em.decode_sanity_check and not (
-                z_san.all() and y_san.all()):
-            raise ValueError("Sanity check failed (corrupt bit streams).")
-        return x_hat[0, : x_shape[0], : x_shape[1], :]
+        return (self._decode_u8(self.params, y_hat), z_san, y_san,
+                (int(x_shape[0]), int(x_shape[1])))
 
 
 def main(argv=None):

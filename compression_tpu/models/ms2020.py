@@ -640,10 +640,58 @@ class MS2020Codec:
         from compression_tpu.codec import jax_coder as jc
         from compression_tpu.models import native_format
 
-        from compression_tpu.util import transfer as tr
-
         if os.environ.get("CTPU_FUSED_NATIVE", "1") == "0":
             return self._decompress_native_host(packed)
+        x_hat, z_san, y_sans, x_hw = self._native_dec_submit(packed)
+        fetched = jax.device_get((x_hat, z_san) + tuple(y_sans))
+        x_hat, z_san = fetched[0], fetched[1]
+        if self.em_y.decode_sanity_check and not (
+                z_san.all() and all(s.all() for s in fetched[2:])):
+            raise ValueError("Sanity check failed (corrupt bit streams).")
+        return x_hat[0, : x_hw[0], : x_hw[1], :]
+
+    def decompress_native_many(self, containers) -> list:
+        """Throughput mode: pipelines N native containers through the
+        async dispatch queue (mirrors compress_native_many)."""
+        import os
+
+        if os.environ.get("CTPU_FUSED_NATIVE", "1") == "0":
+            return [self.decompress(c) for c in containers]
+        native_nt = 6 + 3 * self.model.num_slices
+        submitted = []
+        for c in containers:
+            packed = PackedTensors(c)
+            assert packed.model == self.MODEL_ID
+            if packed.num_tensors != native_nt:
+                submitted.append((None, c))
+                continue
+            submitted.append((self._native_dec_submit(packed), c))
+        fetched = jax.device_get(
+            [(s[0][0], s[0][1]) + tuple(s[0][2])
+             for s in submitted if s[0] is not None])
+        outs, it = [], iter(fetched)
+        for s in submitted:
+            if s[0] is None:
+                outs.append(self.decompress(s[1]))
+                continue
+            got = next(it)
+            x_hat, z_san, y_sans = got[0], got[1], got[2:]
+            if self.em_y.decode_sanity_check and not (
+                    z_san.all() and all(ss.all() for ss in y_sans)):
+                raise ValueError(
+                    "Sanity check failed (corrupt bit streams).")
+            x_hw = s[0][3]
+            outs.append(x_hat[0, : x_hw[0], : x_hw[1], :])
+        return outs
+
+    def _native_dec_submit(self, packed):
+        """Submits one native container's decode dispatch chain; returns
+        (device x_hat u8, device z sanity, list of device slice
+        sanities, x_shape) with no blocking fetch."""
+        from compression_tpu.codec import jax_coder as jc
+        from compression_tpu.models import native_format
+        from compression_tpu.util import transfer as tr
+
         ns = self.model.num_slices
         fields = packed.unpack(
             [np.int32, np.int32, np.int32, "bytes", np.int32, np.int32]
@@ -736,13 +784,8 @@ class MS2020Codec:
                 self.params, i, mean_support, y_hat_slice)
             y_hat_slices.append(y_hat_slice)
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-        fetched = jax.device_get(
-            (self._decode_u8(self.params, y_hat), z_san) + tuple(y_sans))
-        x_hat, z_san = fetched[0], fetched[1]
-        if self.em_y.decode_sanity_check and not (
-                z_san.all() and all(s.all() for s in fetched[2:])):
-            raise ValueError("Sanity check failed (corrupt bit streams).")
-        return x_hat[0, : x_shape[0], : x_shape[1], :]
+        return (self._decode_u8(self.params, y_hat), z_san, y_sans,
+                (int(x_shape[0]), int(x_shape[1])))
 
     def _decompress_native_host(self, packed) -> np.ndarray:
         from compression_tpu.codec import jax_coder as jc

@@ -47,7 +47,9 @@ BATCH = 8
 BASE = int(_os.environ.get("HIFIC_BASE", "16"))
 
 
-def small_cfg(use_gan, target=0.30):
+def small_cfg(use_gan, target=None):
+    if target is None:
+        target = float(_os.environ.get("HIFIC_RATE_TARGET", "0.30"))
     from compression_tpu.models import hific
     return hific.HiFiCConfig(
         num_down=3, num_filters_base=BASE,
