@@ -147,6 +147,25 @@ def test_transfer_pack_roundtrips():
         assert np.array_equal(o, a)
 
 
+@pytest.mark.parametrize("family", ["bls2017", "ms2020"])
+def test_throughput_mode_matches_per_image_calls(family):
+    """compress_native_many / decompress_native_many == per-image calls,
+    including a classic container mixed into the decode batch."""
+    codec = _build(family)
+    rng = np.random.RandomState(21)
+    imgs = [rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+            for _ in range(3)]
+    containers = codec.compress_native_many(imgs)
+    assert containers == [codec.compress_native(x) for x in imgs]
+    outs = codec.decompress_native_many(containers)
+    for out, x in zip(outs, imgs):
+        assert np.array_equal(out, codec.reconstruct(x))
+    mixed = codec.decompress_native_many(
+        [containers[0], codec.compress(imgs[1])])
+    assert np.array_equal(mixed[0], codec.reconstruct(imgs[0]))
+    assert np.array_equal(mixed[1], codec.reconstruct(imgs[1]))
+
+
 def test_split_factor_from_streams_rejects_bad_counts():
     with pytest.raises(ValueError):
         native_format.split_factor_from_streams(7, 4)
