@@ -420,6 +420,8 @@ def main():
     # artifact is unusable unless the JSON line prints (BENCH_r03 was
     # rc=124/parsed=null); every block after the headline respects this
     # deadline so a partial table still produces a parseable artifact.
+    from compression_tpu.util import compile_cache
+    compile_cache.enable()  # env-var route is too late under axon
     t_start = time.time()
     deadline = t_start + float(os.environ.get("BENCH_DEADLINE_S", "640"))
     table, symbols, cdf = make_workload()

@@ -137,6 +137,8 @@ def _transform_times(codec, x8, repeats=3):
 def _build(name, size):
     import jax
     import jax.numpy as jnp
+    from compression_tpu.util import compile_cache
+    compile_cache.enable()
 
     if name == "bls2017":
         from compression_tpu.models import bls2017 as m
@@ -152,8 +154,11 @@ def _build(name, size):
         codec_cls = m.MS2020Codec
     else:
         raise ValueError(name)
+    # Init at a small spatial size: conv/GDN/prior params are input-size
+    # independent (verified identical), and a 512x512 init compiles the
+    # full forward just to draw them (~2.5 min through the tunnel).
     params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, size, size, 3)), training=False)
+                        jnp.zeros((1, 64, 64, 3)), training=False)
     return codec_cls(model, params)
 
 

@@ -88,6 +88,8 @@ def wall_ms(fn, reps=5):
 def decompose(name, size=512):
     import jax
     import jax.numpy as jnp
+    from compression_tpu.util import compile_cache
+    compile_cache.enable()
 
     from compression_tpu.codec import jax_coder as jc
     from compression_tpu.models import native_format
