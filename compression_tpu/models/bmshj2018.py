@@ -237,6 +237,14 @@ class BMSHJ2018Codec:
             lambda p, y: jnp.clip(jnp.round(model.apply(
                 p, y, method=BMSHJ2018Model.decode)), 0, 255).astype(
                     jnp.uint8))
+        # Latent depth derived from the analysis transform output (not
+        # assumed == num_filters): keeps the fused decode geometry
+        # correct if latent depth is ever decoupled from num_filters
+        # (ADVICE r4).  eval_shape traces shapes only — no compute.
+        y_s, _ = jax.eval_shape(
+            lambda p, x: model.apply(p, x, method=BMSHJ2018Model.encode),
+            params, jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32))
+        self.latent_depth = int(y_s.shape[-1])
 
     def compress(self, x) -> bytes:
         x = jnp.asarray(x)[None]
@@ -303,29 +311,45 @@ class BMSHJ2018Codec:
             self._native_encoders = {}
         cached = self._native_encoders.get((y.shape, z.shape))
         if cached is None:
+            scale = getattr(self, "_compact_scale", 1)
+
             def geom(shape):
                 _, h, w, c = (int(s) for s in shape)
                 k = native_format.split_factor(w, c)
                 s_streams, n = h * k, (w // k) * c
                 budget = jax_coder.sidecar_budget(s_streams * n)
-                num_steps = max(jax_coder._round_up(n, 64), 64)
-                out_w = jax_coder._round_up(2 * num_steps + 2, 4)
-                spec = [((s_streams, out_w), "u8"), ((s_streams,), "i32"),
-                        ((budget,), "i32"), ((budget,), "i32"),
-                        ((), "i32"), ((), "bool")]
-                return (h, w, c), n, budget, spec
+                # Compacted fetch (see bls2017._native_submit): padded
+                # stream buffers and the mostly-empty escape arrays cost
+                # tunnel bandwidth; ship tight word buffers + a sliced
+                # escape sidecar, with adaptive-double fallback flags.
+                bw = jax_coder.compact_budget_words(
+                    s_streams * n, s_streams, scale)
+                fb = min(budget,
+                         scale * max(1024, s_streams * n // 128))
+                spec = [((bw,), "i32"), ((s_streams,), "i32"),
+                        ((fb,), "i32"), ((fb,), "i32"),
+                        ((), "i32"), ((), "bool"), ((), "bool")]
+                return (h, w, c), n, (s_streams, budget, bw, fb), spec
 
-            gy, n_y, budget_y, spec_y = geom(y.shape)
-            gz, n_z, budget_z, spec_z = geom(z.shape)
+            gy, n_y, (sy, budget_y, bw_y, fb_y), spec_y = geom(y.shape)
+            gz, n_z, (sz, budget_z, bw_z, fb_z), spec_z = geom(z.shape)
+
+            def compacted(out, s_streams, bw, fb):
+                buf, lens, ei, ev, cnt, ok = out
+                words, cok = jax_coder.compact_streams(
+                    buf.reshape(s_streams, -1), lens.reshape(-1), bw)
+                return [words, lens.reshape(-1), ei[:fb], ev[:fb], cnt,
+                        ok, cok & (cnt <= fb)]
 
             def encode_coding(yy, idx, zz):
-                y_out = self.em.compress_sidecar_device(
+                y_out = compacted(self.em.compress_sidecar_device(
                     native_format.to_streams(yy),
                     native_format.to_streams(idx),
-                    escape_budget=budget_y)
-                z_out = self.side_em.compress_sidecar_device(
-                    native_format.to_streams(zz), escape_budget=budget_z)
-                return tr.pack_jit(list(y_out) + list(z_out))
+                    escape_budget=budget_y), sy, bw_y, fb_y)
+                z_out = compacted(self.side_em.compress_sidecar_device(
+                    native_format.to_streams(zz),
+                    escape_budget=budget_z), sz, bw_z, fb_z)
+                return tr.pack_jit(y_out + z_out)
 
             cached = (jax.jit(encode_coding), spec_y + spec_z,
                       gy, n_y, gz, n_z)
@@ -341,8 +365,8 @@ class BMSHJ2018Codec:
         from compression_tpu.util import transfer as tr
 
         spec, (hy, wy, cy), n_y, (hz, wz, cz), n_z, x_hw = meta
-        (y_buf, y_len, y_ei, y_ev, y_cnt, y_ok,
-         z_buf, z_len, z_ei, z_ev, z_cnt, z_ok) = tr.unpack_host(
+        (y_words, y_len, y_ei, y_ev, y_cnt, y_ok, y_cok,
+         z_words, z_len, z_ei, z_ev, z_cnt, z_ok, z_cok) = tr.unpack_host(
             flat, spec)
         if not (bool(y_ok) and bool(z_ok)):
             import warnings
@@ -351,13 +375,23 @@ class BMSHJ2018Codec:
                 "the host sidecar path for this image.",
                 RuntimeWarning, stacklevel=2)
             return self._compress_native_host(jnp.asarray(x)[None])
+        if not (bool(y_cok) and bool(z_cok)):
+            import warnings
+            warnings.warn(
+                "compress_native compact fetch budget exceeded; doubling "
+                "the budget (re-traces on the next call) and falling back "
+                "to the host sidecar path for this image.",
+                RuntimeWarning, stacklevel=2)
+            self._compact_scale = 2 * getattr(self, "_compact_scale", 1)
+            self._native_encoders = {}
+            return self._compress_native_host(jnp.asarray(x)[None])
         y_pairs, y_vals = native_format.esc_to_pairs(y_ei, y_ev, y_cnt, n_y)
         z_pairs, z_vals = native_format.esc_to_pairs(z_ei, z_ev, z_cnt, n_z)
         packed = PackedTensors()
         packed.model = self.MODEL_ID
         packed.pack([
-            jax_coder.to_bytes_list(y_buf, y_len),
-            jax_coder.to_bytes_list(z_buf, z_len),
+            jax_coder.compact_to_bytes_list(y_words, y_len),
+            jax_coder.compact_to_bytes_list(z_words, z_len),
             np.asarray(x_hw, np.int32),
             np.asarray((hy, wy), np.int32),
             np.asarray((hz, wz), np.int32),
@@ -522,43 +556,51 @@ class BMSHJ2018Codec:
         z_buf, z_len = jax_coder.from_bytes_list(side_strings)
         y_buf, y_len = jax_coder.from_bytes_list(strings)
         n_z = (wz // k_z) * cz
-        z16 = jax_coder.bytes_to_chunks(z_buf, z_len)
-        y16 = jax_coder.bytes_to_chunks(y_buf, y_len)
+        # Upload RAW bytes (even width) and chunk-pack on device: u32
+        # pre-chunking doubled the tunnel bytes of the container upload.
+        if z_buf.shape[1] % 2:
+            z_buf = np.pad(z_buf, ((0, 0), (0, 1)))
+        if y_buf.shape[1] % 2:
+            y_buf = np.pad(y_buf, ((0, 0), (0, 1)))
         z_ei, z_evp = jax_coder.sidecar_pad(
             z_ep.reshape(-1, 2), z_ev, n_z, len(side_strings) * n_z)
         # n_y is derivable host-side without the hyper decode: the y
-        # stream geometry is (wy // k_y) * cy with cy the model latent
-        # depth (the container's stream count fixes k_y).
-        cy = int(self.model.num_filters)
+        # stream geometry is (wy // k_y) * cy with cy the latent depth
+        # (from the analysis transform's output shape, mirroring the
+        # host path's indexes.shape[-1]; the container's stream count
+        # fixes k_y).
+        cy = self.latent_depth
         n_y = (wy // k_y) * cy
         y_ei, y_evp = jax_coder.sidecar_pad(
             y_ep.reshape(-1, 2), y_ev, n_y, len(strings) * n_y)
         # ONE packed upload for all container fields; hyper synthesis and
         # final synthesis run in the SAME shared programs as the classic
         # path and reconstruct() (bit-identical); coding jits are exact.
-        in_arrays = [z16.astype(np.uint32), z_len.astype(np.int32),
+        in_arrays = [z_buf, z_len.astype(np.int32),
                      z_ei, z_evp,
-                     y16.astype(np.uint32), y_len.astype(np.int32),
+                     y_buf, y_len.astype(np.int32),
                      y_ei, y_evp]
         in_spec = tr.pack_spec(in_arrays)
         if not hasattr(self, "_native_decoders"):
             self._native_decoders = {}
-        key = (hy, wy, hz, wz, k_y, k_z, y16.shape[1], z16.shape[1],
+        key = (hy, wy, hz, wz, k_y, k_z, y_buf.shape[1], z_buf.shape[1],
                y_ei.shape[0], z_ei.shape[0])
         fns = self._native_decoders.get(key)
         if fns is None:
             def decode_z(flat):
-                (z16d, z_lnd, z_eid, z_evd, y16d, y_lnd, y_eid,
+                (z_bb, z_lnd, z_eid, z_evd, y_bb, y_lnd, y_eid,
                  y_evd) = tr.unpack_jit(flat, in_spec)
+                z16d = jax_coder.chunks_from_bytes_jit(z_bb)
                 z_rows, z_san = self.side_em.decompress_sidecar_device(
                     z16d, z_lnd, (1, wz // k_z), z_eid, z_evd)
                 z_hat = native_format.from_streams(z_rows, hz, wz, cz)
-                return z_hat, z_san, y16d, y_lnd, y_eid, y_evd
+                return z_hat, z_san, y_bb, y_lnd, y_eid, y_evd
 
-            def decode_y(idx, y16d, y_lnd, y_eid, y_evd):
+            def decode_y(idx, y_bb, y_lnd, y_eid, y_evd):
                 i_rows = idx[0].reshape(hy * k_y, 1, wy // k_y, cy)
                 y_rows, y_san = self.em.decompress_sidecar_device(
-                    y16d, y_lnd, i_rows, y_eid, y_evd)
+                    jax_coder.chunks_from_bytes_jit(y_bb), y_lnd,
+                    i_rows, y_eid, y_evd)
                 return y_rows.reshape(1, hy, wy, cy), y_san
 
             fns = (jax.jit(decode_z), jax.jit(decode_y))

@@ -69,8 +69,12 @@ def pack_host(arrays):
             parts.append(a.reshape(-1).view(np.int32))
         elif a.dtype == np.bool_:
             parts.append(a.reshape(-1).astype(np.int32))
+        elif a.dtype == np.int32:
+            parts.append(a.reshape(-1))
         else:
-            parts.append(a.reshape(-1).astype(np.int32))
+            # Mirror pack_spec: a silent astype(int32) would truncate
+            # int64/float inputs that pack_spec already rejects.
+            raise TypeError(f"Unsupported pack dtype {a.dtype}")
     return np.concatenate(parts) if parts else np.zeros(0, np.int32)
 
 
@@ -114,8 +118,10 @@ def pack_jit(arrays):
                 a.reshape(-1), jnp.int32))
         elif a.dtype == jnp.bool_:
             parts.append(a.reshape(-1).astype(jnp.int32))
+        elif a.dtype == jnp.int32:
+            parts.append(a.reshape(-1))
         else:
-            parts.append(a.reshape(-1).astype(jnp.int32))
+            raise TypeError(f"Unsupported pack dtype {a.dtype}")
     return jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.int32)
 
 

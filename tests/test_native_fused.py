@@ -100,28 +100,54 @@ def test_k1_layout_container_still_decodes(monkeypatch):
     assert np.array_equal(codec.decompress(container), rec)
 
 
-def test_escape_budget_fallback_warns_and_roundtrips():
-    codec = _build("bls2017")
-    x8 = _image(seed=5)
-    rec = codec.reconstruct(x8)
-    # Rebuild the cached encoder with a tiny budget so ok=False.
-    y = codec._analysis(codec.params, jnp.asarray(x8)[None])
-    codec._native_encoders = {}
-    from compression_tpu.codec import jax_coder as jc
-    real_budget = jc.sidecar_budget
+def _force_outliers(codec, family):
+    """Wraps the codec's shared latent jit so two latent values become
+    extreme outliers (+-500, far outside any table's support): escapes
+    are deterministic for every seed/config, so the budget-exceeded
+    branch always runs instead of skipping (VERDICT/ADVICE r4).  The
+    wrapper replaces the shared program for EVERY entry point
+    (compress_native, the host fallback, reconstruct), preserving the
+    round-trip contract."""
+    if family == "bls2017":
+        real = codec._analysis
 
-    # Count actual escapes first; skip if the random latents produce none.
-    buf, lens, ep, ev = codec.em.compress_sidecar(
-        native_format.to_streams(y))
-    if len(ev) == 0:
-        pytest.skip("no escapes at this config/seed")
-    try:
-        jc.sidecar_budget = lambda n: max(len(ev) - 1, 1)
-        with pytest.warns(RuntimeWarning, match="escape budget"):
-            container = codec.compress_native(x8)
-    finally:
-        jc.sidecar_budget = real_budget
-        codec._native_encoders = {}
+        def patched(params, x):
+            y = real(params, x)
+            return y.at[0, 0, 0, 0].set(500.0).at[0, 1, 1, 0].set(-500.0)
+
+        codec._analysis = patched
+    else:
+        real = codec._encode
+
+        def patched(params, x):
+            y, z = real(params, x)
+            y = y.at[0, 0, 0, 0].set(500.0).at[0, 1, 1, 0].set(-500.0)
+            return y, z
+
+        codec._encode = patched
+
+
+@pytest.mark.parametrize("family", ["bls2017", "bmshj2018", "ms2020"])
+def test_escape_budget_fallback_warns_and_roundtrips(family, monkeypatch):
+    codec = _build(family)
+    x8 = _image(seed=5)
+    _force_outliers(codec, family)
+    rec = codec.reconstruct(x8)
+    # Under the real budget the forced escapes fit: the fused container
+    # round-trips (nonzero-escape container parity).
+    container_ok = codec.compress_native(x8)
+    assert np.array_equal(codec.decompress(container_ok), rec)
+    # Shrink the budget below the (>= 2) escape count and rebuild the
+    # coding jits: the fused encoder must report ok=False, warn, and
+    # fall back to the host sidecar path with an equivalent container.
+    from compression_tpu.codec import jax_coder as jc
+    monkeypatch.setattr(jc, "sidecar_budget", lambda n: 1)
+    for attr in ("_native_encoders", "_native_coder_cache"):
+        if hasattr(codec, attr):
+            delattr(codec, attr)
+    with pytest.warns(RuntimeWarning, match="escape budget"):
+        container = codec.compress_native(x8)
+    assert container == container_ok  # host fallback == fused bytes
     assert np.array_equal(codec.decompress(container), rec)
 
 
