@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from compression_tpu.codec import jax_coder
 from compression_tpu.util import profiling
 
-__all__ = ["BatchCodec"]
+__all__ = ["BatchCodec", "SidecarBatchCodec"]
 
 
 class BatchCodec:
@@ -150,6 +150,116 @@ class BatchCodec:
             with self.timer("decode_compute"):
                 out, sanity = jax.block_until_ready(
                     decode(buf_d, len_d, idx_d))
+            with self.timer("decode_gather"):
+                out = np.asarray(out)
+                sanity = np.asarray(sanity)
+        return out[:s_orig], sanity[:s_orig]
+
+
+class SidecarBatchCodec:
+    """Sharded native-container coder: the round-4 sidecar stack.
+
+    Runs the SAME traced entropy-model methods the flagship native
+    containers use (`compress_sidecar_device` / `decompress_sidecar_
+    device` — escape sidecar compacted on device, wide cond-free coder
+    lanes) data-parallel over the stream axis of a device mesh.  Byte
+    buffers and lengths shard per stream; the compacted escape sidecar
+    and the ok flag are global reductions (XLA inserts the collectives).
+    Streams are independent, so container bytes are identical for any
+    device count (SURVEY.md §2.13 DP row).
+    """
+
+    def __init__(self, em, mesh: Optional[Mesh] = None):
+        self.em = em
+        if mesh is None:
+            devices = np.asarray(jax.devices()).reshape(-1, 1)
+            mesh = Mesh(devices, axis_names=("data", "model"))
+        self.mesh = mesh
+        self.timer = profiling.PhaseTimer()
+        self._enc = {}
+        self._dec = {}
+
+    def _data(self, ndim):
+        return NamedSharding(self.mesh, P(*(("data",) + (None,) * (ndim - 1))))
+
+    def _pad_streams(self, arr, fill=0):
+        n_data = self.mesh.devices.shape[0]
+        pad = (-arr.shape[0]) % n_data
+        if pad:
+            arr = np.concatenate(
+                [arr, np.full((pad,) + arr.shape[1:], fill, arr.dtype)])
+        return arr
+
+    def encode(self, rows, escape_budget=None):
+        """Encodes bottleneck rows [S, *broadcast, *prior] sharded over
+        the mesh through the EM's traced sidecar compress.
+
+        Returns (bytes [S, L] uint8, lengths [S] int32, esc_idx, esc_val,
+        count, ok) exactly as compress_sidecar_device does, trimmed back
+        to the original stream count.
+        """
+        rows = np.asarray(rows)
+        s_orig = rows.shape[0]
+        rows = self._pad_streams(rows)
+        key = (rows.shape, escape_budget)
+        if key not in self._enc:
+            em = self.em
+
+            def encode(rr):
+                return em.compress_sidecar_device(
+                    rr, escape_budget=escape_budget)
+
+            self._enc[key] = jax.jit(
+                encode, in_shardings=self._data(rows.ndim))
+        fn = self._enc[key]
+        data = self._data(rows.ndim)
+        with self.timer("encode"):
+            with self.timer("encode_put"):
+                rows_d = jax.device_put(jnp.asarray(rows), data)
+                jax.block_until_ready(rows_d)
+            with self.timer("encode_compute"):
+                out = jax.block_until_ready(fn(rows_d))
+            with self.timer("encode_gather"):
+                buf, lengths, esc_idx, esc_val, count, ok = map(
+                    np.asarray, out)
+        return buf[:s_orig], lengths[:s_orig], esc_idx, esc_val, count, ok
+
+    def decode(self, buf, lengths, broadcast_shape, esc_idx, esc_val):
+        """Decodes per-stream byte buffers sharded over the mesh through
+        the EM's traced sidecar decompress.
+
+        Escape positions are flat indices over the ORIGINAL stream
+        count; stream padding appends empty streams after them, so the
+        flat layout is unchanged.
+        """
+        buf = np.asarray(buf, np.uint8)
+        lengths = np.asarray(lengths, np.int32)
+        s_orig = buf.shape[0]
+        src16 = jax_coder.bytes_to_chunks(buf, lengths)
+        src16 = self._pad_streams(src16)
+        lengths = self._pad_streams(lengths)
+        broadcast_shape = tuple(int(s) for s in broadcast_shape)
+        key = (src16.shape, broadcast_shape, esc_idx.shape[0])
+        if key not in self._dec:
+            em = self.em
+
+            def decode(s16, lens, ei, ev):
+                return em.decompress_sidecar_device(
+                    s16, lens, broadcast_shape, ei, ev)
+
+            rep = NamedSharding(self.mesh, P())
+            self._dec[key] = jax.jit(
+                decode,
+                in_shardings=(self._data(2), self._data(1), rep, rep))
+        fn = self._dec[key]
+        with self.timer("decode"):
+            with self.timer("decode_put"):
+                args = (jax.device_put(jnp.asarray(src16), self._data(2)),
+                        jax.device_put(jnp.asarray(lengths), self._data(1)),
+                        jnp.asarray(esc_idx), jnp.asarray(esc_val))
+                jax.block_until_ready(args)
+            with self.timer("decode_compute"):
+                out, sanity = jax.block_until_ready(fn(*args))
             with self.timer("decode_gather"):
                 out = np.asarray(out)
                 sanity = np.asarray(sanity)
