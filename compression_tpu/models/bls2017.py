@@ -272,21 +272,33 @@ class BLS2017Codec:
             _, h, w, c = (int(s) for s in y.shape)
             k = native_format.split_factor(w, c)
             s_streams, n = h * k, (w // k) * c
+            scale = getattr(self, "_compact_scale", 1)
             budget = jax_coder.sidecar_budget(s_streams * n)
-            num_steps = max(jax_coder._round_up(n, 64), 64)
-            out_w = jax_coder._round_up(2 * num_steps + 2, 4)
-            spec = [((s_streams, out_w), "u8"), ((s_streams,), "i32"),
-                    ((budget,), "i32"), ((budget,), "i32"),
-                    ((), "i32"), ((), "bool")]
+            bw = jax_coder.compact_budget_words(s_streams * n, s_streams,
+                                                scale)
+            # Escape FETCH budget: the coding budget (1/32 of symbols)
+            # is safety margin, but escapes are sorted ascending so only
+            # the first `count` entries carry data — fetch a small slice
+            # and fall into the adaptive-double path on overflow.
+            fb = min(budget, scale * max(1024, s_streams * n // 128))
+            spec = [((bw,), "i32"), ((s_streams,), "i32"),
+                    ((fb,), "i32"), ((fb,), "i32"),
+                    ((), "i32"), ((), "bool"), ((), "bool")]
 
             # The coding program touches floats only through IEEE-exact
             # ops (subtract/round), so it is deterministic on the shared
-            # program's y; outputs pack into ONE int32 fetch (each
-            # tunnel transfer costs ~15-25 ms RTT).
+            # program's y; outputs pack into ONE int32 fetch, with the
+            # per-stream byte buffers COMPACTED on device (the tunnel is
+            # bandwidth-sensitive: ~35-65 us/KB measured, so fetching
+            # ~260 KB of padding for ~90 KB of payload cost ~10 ms).
             def encode_all(yy):
-                out = self.em.compress_sidecar_device(
+                buf, lens, ei, ev, cnt, ok = self.em.compress_sidecar_device(
                     native_format.to_streams(yy), escape_budget=budget)
-                return tr.pack_jit(list(out))
+                words, cok = jax_coder.compact_streams(
+                    buf.reshape(s_streams, -1), lens.reshape(-1), bw)
+                return tr.pack_jit(
+                    [words, lens.reshape(-1), ei[:fb], ev[:fb], cnt, ok,
+                     cok & (cnt <= fb)])
 
             cached = (jax.jit(encode_all), spec, (h, w, c), n)
             self._native_encoders[y.shape] = cached
@@ -298,7 +310,8 @@ class BLS2017Codec:
         from compression_tpu.util import transfer as tr
 
         spec, (h, w, c), n, x_hw = meta
-        buf, lens, esc_idx, esc_val, count, ok = tr.unpack_host(flat, spec)
+        (words, lens, esc_idx, esc_val, count, ok,
+         cok) = tr.unpack_host(flat, spec)
         if not bool(ok):
             import warnings
             warnings.warn(
@@ -306,11 +319,23 @@ class BLS2017Codec:
                 "latents); falling back to the host sidecar path for this "
                 "image.", RuntimeWarning, stacklevel=2)
             return self._compress_native_host(np.asarray(x))
+        if not bool(cok):
+            # Pathological payload (> ~8 bits/symbol): double the fetch
+            # budget for subsequent images and take the host path now.
+            import warnings
+            warnings.warn(
+                "compress_native compact fetch budget exceeded; doubling "
+                "the budget (re-traces on the next call) and falling back "
+                "to the host sidecar path for this image.",
+                RuntimeWarning, stacklevel=2)
+            self._compact_scale = 2 * getattr(self, "_compact_scale", 1)
+            self._native_encoders = {}
+            return self._compress_native_host(np.asarray(x))
         pairs, vals = native_format.esc_to_pairs(esc_idx, esc_val, count, n)
         packed = PackedTensors()
         packed.model = self.MODEL_ID
         packed.pack([
-            jax_coder.to_bytes_list(buf, lens),
+            jax_coder.compact_to_bytes_list(words, lens),
             np.asarray(x_hw, np.int32),
             np.asarray((h, w), np.int32),
             pairs.ravel(), vals])
@@ -435,19 +460,22 @@ class BLS2017Codec:
         c = int(np.prod(self.em.prior_shape))
         k = native_format.split_factor_from_streams(len(strings), h)
         n = (w // k) * c
-        src16 = jax_coder.bytes_to_chunks(buf, lens)
+        # Upload RAW bytes (even width) and chunk-pack on device: u32
+        # pre-chunking doubled the tunnel bytes of the container upload.
+        if buf.shape[1] % 2:
+            buf = np.pad(buf, ((0, 0), (0, 1)))
         esc_idx, esc_v = jax_coder.sidecar_pad(
             esc_flat.reshape(-1, 2), esc_val, n, len(strings) * n)
-        in_arrays = [src16.astype(np.uint32), lens.astype(np.int32),
-                     esc_idx, esc_v]
+        in_arrays = [buf, lens.astype(np.int32), esc_idx, esc_v]
         in_spec = tr.pack_spec(in_arrays)
         if not hasattr(self, "_native_decoders"):
             self._native_decoders = {}
-        key = (h, w, k, src16.shape[1], esc_idx.shape[0])
+        key = (h, w, k, buf.shape[1], esc_idx.shape[0])
         fn = self._native_decoders.get(key)
         if fn is None:
             def decode_streams_only(flat):
-                s16, ln, ei, ev = tr.unpack_jit(flat, in_spec)
+                bb, ln, ei, ev = tr.unpack_jit(flat, in_spec)
+                s16 = jax_coder.chunks_from_bytes_jit(bb)
                 y_rows, sanity = self.em.decompress_sidecar_device(
                     s16, ln, (1, w // k), ei, ev)
                 return native_format.from_streams(y_rows, h, w, c), sanity

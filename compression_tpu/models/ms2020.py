@@ -432,7 +432,7 @@ class MS2020Codec:
         y, z = self._encode(self.params, x)
         y_shape = tuple(int(s) for s in y.shape[1:-1])
         cached = self._native_coders(y.shape, z.shape)
-        (enc_z, enc_slice, _, _, geom) = cached
+        (enc_z, enc_slice, pack_fn, _, geom) = cached
 
         z_out = enc_z(z)
         z_hat = self.em_z.quantize(z)
@@ -460,8 +460,10 @@ class MS2020Codec:
         # independent, so the per-stream bytes — and the container —
         # are identical to per-slice coding.
         slices_out = enc_slice(y_slices, sigmas, mus)
-        # ONE packed fetch for the hyper stream and all slice streams.
-        flat_dev = self._pack_fetch(list(z_out) + list(slices_out))
+        # ONE packed fetch for the hyper stream and all slice streams,
+        # with stream buffers compacted and escape arrays sliced on
+        # device (tunnel bandwidth).
+        flat_dev = pack_fn(z_out, slices_out)
         return flat_dev, (geom, len(y_slices),
                           tuple(int(s) for s in x.shape[1:-1]))
 
@@ -473,15 +475,26 @@ class MS2020Codec:
         geom, ns, x_hw = meta
         (hy, wy, cy), n_y, (hz, wz, cz), n_z, spec_z, spec_y, s_y = geom
         outs = tr.unpack_host(flat, spec_z + spec_y)
-        z_vals = outs[:6]
-        (sl_buf, sl_lens, sl_ei, sl_ev, sl_cnt, sl_ok) = outs[6:12]
-        ok = bool(z_vals[5]) and bool(sl_ok)
-        if not ok:
+        z_vals = outs[:7]
+        (sl_words, sl_lens, sl_ei, sl_ev, sl_cnt, sl_ok,
+         sl_cok) = outs[7:14]
+        if not (bool(z_vals[5]) and bool(sl_ok)):
             import warnings
             warnings.warn(
                 "compress_native escape budget exceeded; falling back to "
                 "the host sidecar path for this image.",
                 RuntimeWarning, stacklevel=2)
+            return self._compress_native_host(jnp.asarray(x)[None])
+        if not (bool(z_vals[6]) and bool(sl_cok)):
+            import warnings
+            warnings.warn(
+                "compress_native compact fetch budget exceeded; doubling "
+                "the budget (re-traces on the next call) and falling back "
+                "to the host sidecar path for this image.",
+                RuntimeWarning, stacklevel=2)
+            self._compact_scale = 2 * getattr(self, "_compact_scale", 1)
+            if hasattr(self, "_native_coder_cache"):
+                del self._native_coder_cache
             return self._compress_native_host(jnp.asarray(x)[None])
         z_pairs, z_vv = native_format.esc_to_pairs(
             z_vals[2], z_vals[3], z_vals[4], n_z)
@@ -489,13 +502,14 @@ class MS2020Codec:
         # container fields (stream s belongs to slice s // s_y).
         pairs_all, vals_all = native_format.esc_to_pairs(
             sl_ei, sl_ev, sl_cnt, n_y)
+        sl_strings = jc.compact_to_bytes_list(sl_words, sl_lens)
         slice_fields = []
         for i in range(ns):
             lo, hi = i * s_y, (i + 1) * s_y
             m = (pairs_all[:, 0] >= lo) & (pairs_all[:, 0] < hi)
             pairs_i = pairs_all[m] - np.asarray([lo, 0], np.int32)
             slice_fields += [
-                jc.to_bytes_list(sl_buf[lo:hi], sl_lens[lo:hi]),
+                sl_strings[lo:hi],
                 pairs_i.ravel(), vals_all[m]]
         packed = PackedTensors()
         packed.model = self.MODEL_ID
@@ -503,7 +517,7 @@ class MS2020Codec:
             [np.asarray(x_hw, np.int32),
              np.asarray((hy, wy), np.int32),
              np.asarray((hz, wz), np.int32),
-             jc.to_bytes_list(z_vals[0], z_vals[1]),
+             jc.compact_to_bytes_list(z_vals[0], z_vals[1]),
              z_pairs.ravel(), z_vv]
             + slice_fields)
         return packed.string
@@ -521,35 +535,40 @@ class MS2020Codec:
 
         if not hasattr(self, "_native_coder_cache"):
             self._native_coder_cache = {}
-            self._pack_fetch = jax.jit(lambda arrays: tr.pack_jit(arrays))
         key = (tuple(y_full), tuple(z_full))
         cached = self._native_coder_cache.get(key)
         if cached is not None:
             return cached
 
+        scale = getattr(self, "_compact_scale", 1)
+
         def geom_of(shape, channels, groups=1):
             """Stream geometry; ``groups`` stacks that many same-shape
-            tensors into one wide coding call."""
+            tensors into one wide coding call.  The fetch spec carries
+            COMPACTED word buffers and a sliced escape sidecar (see
+            bls2017._native_submit — the tunnel is bandwidth-sensitive),
+            with adaptive-double fallback flags."""
             h, w = int(shape[1]), int(shape[2])
             c = int(channels)
             k = native_format.split_factor(w, c)
             s_streams, n = h * k, (w // k) * c
-            budget = jc.sidecar_budget(groups * s_streams * n)
-            num_steps = max(jc._round_up(n, 64), 64)
-            out_w = jc._round_up(2 * num_steps + 2, 4)
-            spec = [((groups * s_streams, out_w), "u8"),
+            total = groups * s_streams * n
+            budget = jc.sidecar_budget(total)
+            bw = jc.compact_budget_words(total, groups * s_streams, scale)
+            fb = min(budget, scale * max(1024, total // 128))
+            spec = [((bw,), "i32"),
                     ((groups * s_streams,), "i32"),
-                    ((budget,), "i32"), ((budget,), "i32"),
-                    ((), "i32"), ((), "bool")]
-            return (h, w, c), n, s_streams, spec
+                    ((fb,), "i32"), ((fb,), "i32"),
+                    ((), "i32"), ((), "bool"), ((), "bool")]
+            return (h, w, c), n, s_streams, spec, (budget, bw, fb)
 
         ns = self.model.num_slices
         cs = int(y_full[3]) // ns
-        gy, n_y, s_y, spec_y = geom_of(y_full, cs, groups=ns)
-        gz, n_z, _, spec_z = geom_of(z_full, z_full[3])
+        gy, n_y, s_y, spec_y, (budget_y, bw_y, fb_y) = geom_of(
+            y_full, cs, groups=ns)
+        gz, n_z, s_z, spec_z, (budget_z, bw_z, fb_z) = geom_of(
+            z_full, z_full[3])
         em_y, em_z = self.em_y, self.em_z
-        budget_z = spec_z[2][0][0]
-        budget_y = spec_y[2][0][0]
 
         enc_z = jax.jit(lambda zz: em_z.compress_sidecar_device(
             native_format.to_streams(zz), escape_budget=budget_z))
@@ -567,8 +586,21 @@ class MS2020Codec:
             return em_y.compress_sidecar_device(
                 rows, s_rows, loc=m_rows, escape_budget=budget_y)
 
+        def compacted(out, s_total, bw, fb):
+            buf, lens, ei, ev, cnt, ok = out
+            words, cok = jc.compact_streams(
+                buf.reshape(s_total, -1), lens.reshape(-1), bw)
+            return [words, lens.reshape(-1), ei[:fb], ev[:fb], cnt,
+                    ok, cok & (cnt <= fb)]
+
+        def pack_compact(z_out, y_out):
+            return tr.pack_jit(
+                compacted(z_out, s_z, bw_z, fb_z)
+                + compacted(y_out, ns * s_y, bw_y, fb_y))
+
         geom = (gy, n_y, gz, n_z, spec_z, spec_y, s_y)
-        cached = (enc_z, jax.jit(enc_slices), None, None, geom)
+        cached = (enc_z, jax.jit(enc_slices), jax.jit(pack_compact),
+                  None, geom)
         self._native_coder_cache[key] = cached
         return cached
 
@@ -705,10 +737,13 @@ class MS2020Codec:
         k_z = native_format.split_factor_from_streams(
             len(list(z_strings)), hz)
         z_buf, z_len = jc.from_bytes_list(list(z_strings))
-        z16 = jc.bytes_to_chunks(z_buf, z_len)
+        # Upload RAW bytes (even width) and chunk-pack on device: u32
+        # pre-chunking doubled the tunnel bytes of the container upload.
+        if z_buf.shape[1] % 2:
+            z_buf = np.pad(z_buf, ((0, 0), (0, 1)))
         n_z = (wz // k_z) * cz
         z_ei, z_evp = jc.sidecar_pad(
-            z_ep.reshape(-1, 2), z_ev, n_z, z16.shape[0] * n_z)
+            z_ep.reshape(-1, 2), z_ev, n_z, z_buf.shape[0] * n_z)
 
         # Stack the slice streams: equal shapes by construction, padded
         # to the widest slice's chunk count; per-slice sidecars padded to
@@ -720,11 +755,10 @@ class MS2020Codec:
         s_y = len(slice_strings[0])
         bufs, lens = zip(*(jc.from_bytes_list(s) for s in slice_strings))
         width = max(b.shape[1] for b in bufs)
+        width += width % 2
         max_esc = max(fields[7 + 3 * i].size // 2 for i in range(ns))
-        y16 = np.stack([
-            jc.bytes_to_chunks(
-                np.pad(b, ((0, 0), (0, width - b.shape[1]))), None)
-            for b in bufs])
+        y_b8 = np.stack([
+            np.pad(b, ((0, 0), (0, width - b.shape[1]))) for b in bufs])
         y_lens = np.stack(lens).astype(np.int32)
         esc = [jc.sidecar_pad(fields[7 + 3 * i].reshape(-1, 2),
                               fields[8 + 3 * i], n_y, s_y * n_y,
@@ -736,37 +770,39 @@ class MS2020Codec:
         # ONE packed upload; conditioning/LRP/synthesis run in the SAME
         # shared programs as the classic path and reconstruct(); the
         # chained dispatches submit asynchronously.
-        in_arrays = [z16.astype(np.uint32), z_len.astype(np.int32),
-                     z_ei, z_evp, y16.astype(np.uint32), y_lens,
+        in_arrays = [z_buf, z_len.astype(np.int32),
+                     z_ei, z_evp, y_b8, y_lens,
                      y_ei, y_evp]
         in_spec = tr.pack_spec(in_arrays)
         if not hasattr(self, "_native_decoders"):
             self._native_decoders = {}
-        key = (hy, wy, hz, wz, k_y, k_z, y16.shape[2], z16.shape[1],
+        key = (hy, wy, hz, wz, k_y, k_z, y_b8.shape[2], z_buf.shape[1],
                y_ei.shape[1], z_ei.shape[0])
         fns = self._native_decoders.get(key)
         if fns is None:
             em_z, em_y = self.em_z, self.em_y
 
             def decode_z(flat):
-                (z16d, z_lnd, z_eid, z_evd, y16d, y_lnd, y_eid,
+                (z_bb, z_lnd, z_eid, z_evd, y_bb, y_lnd, y_eid,
                  y_evd) = tr.unpack_jit(flat, in_spec)
+                z16d = jc.chunks_from_bytes_jit(z_bb)
                 z_rows, z_san = em_z.decompress_sidecar_device(
                     z16d, z_lnd, (1, wz // k_z), z_eid, z_evd)
                 z_hat = native_format.from_streams(z_rows, hz, wz, cz)
-                return z_hat, z_san, y16d, y_lnd, y_eid, y_evd
+                return z_hat, z_san, y_bb, y_lnd, y_eid, y_evd
 
-            def decode_slice(s16, ln, sig, mm, ei, ev):
+            def decode_slice(bb, ln, sig, mm, ei, ev):
                 s_rows = sig[0].reshape(hy * k_y, 1, wy // k_y, cs)
                 m_rows = mm[0].reshape(hy * k_y, 1, wy // k_y, cs)
                 y_rows, san = em_y.decompress_sidecar_device(
-                    s16, ln, s_rows, ei, ev, loc=m_rows)
+                    jc.chunks_from_bytes_jit(bb), ln, s_rows, ei, ev,
+                    loc=m_rows)
                 return native_format.from_streams(y_rows, hy, wy, cs), san
 
             fns = (jax.jit(decode_z), jax.jit(decode_slice))
             self._native_decoders[key] = fns
         dec_z, dec_slice = fns
-        z_hat, z_san, y16d, y_lnd, y_eid, y_evd = dec_z(
+        z_hat, z_san, y_bbd, y_lnd, y_eid, y_evd = dec_z(
             jnp.asarray(tr.pack_host(in_arrays)))
         latent_scales, latent_means = self._hyper_decode(self.params, z_hat)
         y_hat_slices = []
@@ -778,7 +814,7 @@ class MS2020Codec:
                 self.params, i, latent_means, latent_scales, tuple(support),
                 (hy, wy))
             y_hat_slice, san = dec_slice(
-                y16d[i], y_lnd[i], sigma, mu, y_eid[i], y_evd[i])
+                y_bbd[i], y_lnd[i], sigma, mu, y_eid[i], y_evd[i])
             y_sans.append(san)
             y_hat_slice = y_hat_slice + self._lrp(
                 self.params, i, mean_support, y_hat_slice)
