@@ -70,6 +70,90 @@ def _build_hific(config, params):
     return hific.HiFiCCodec(hific.HiFiCModel(), params)
 
 
+def _metagraph_path(root, model):
+    """Local frozen-graph registry: ``<root>/<model>.metagraph``."""
+    p = os.path.join(root, model + ".metagraph")
+    return p if os.path.exists(p) else None
+
+
+def instantiate_metagraph_signature(path, signature):
+    """Imports a frozen ``.metagraph`` and returns one signature as a
+    callable.
+
+    This is the exact load path the reference uses for its published
+    models (reference models/tfci.py:78-96: parse MetaGraphDef ->
+    ``wrap_function(import_meta_graph)`` -> prune the signature's
+    inputs/outputs), pointed at a local file — in this zero-egress
+    environment only the GCS download is out of reach.  Requires
+    TensorFlow; custom coding ops referenced by the graph must be
+    registered first (``tf.load_op_library`` of a compiled op set).
+    """
+    import tensorflow as tf
+
+    with open(path, "rb") as f:
+        string = f.read()
+    metagraph = tf.compat.v1.MetaGraphDef()
+    metagraph.ParseFromString(string)
+    wrapped_import = tf.compat.v1.wrap_function(
+        lambda: tf.compat.v1.train.import_meta_graph(metagraph), [])
+    graph = wrapped_import.graph
+    inputs = metagraph.signature_def[signature].inputs
+    inputs = [graph.as_graph_element(inputs[k].name) for k in sorted(inputs)]
+    outputs = metagraph.signature_def[signature].outputs
+    outputs = [graph.as_graph_element(outputs[k].name)
+               for k in sorted(outputs)]
+    return wrapped_import.prune(inputs, outputs)
+
+
+def metagraph_compress(path, model, img, rd_parameter=None) -> bytes:
+    """Compresses with a frozen sender graph (reference tfci.py:99-121)."""
+    import tensorflow as tf
+
+    sender = instantiate_metagraph_signature(path, "sender")
+    x = tf.constant(np.asarray(img), dtype=sender.inputs[0].dtype)
+    if len(sender.inputs) == 1:
+        if rd_parameter is not None:
+            raise ValueError("This model doesn't expect an RD parameter.")
+        tensors = list(sender(x))
+    elif len(sender.inputs) == 2:
+        if rd_parameter is None:
+            raise ValueError("This model expects an RD parameter.")
+        rd = tf.constant(rd_parameter, dtype=sender.inputs[1].dtype)
+        tensors = list(sender(x, rd))
+        # Scalar RD parameter rides the container as a 1-D tensor.
+        for i, t in enumerate(tensors):
+            if t.dtype.is_floating and t.shape.rank == 0:
+                tensors[i] = tf.expand_dims(t, 0)
+    else:
+        raise RuntimeError("Unexpected model signature.")
+    packed = PackedTensors()
+    packed.model = model
+    packed.pack([np.asarray(t).reshape(-1) for t in tensors])
+    return packed.string
+
+
+def metagraph_decompress(path, container: bytes):
+    """Decompresses with a frozen receiver graph (reference
+    tfci.py:188-201)."""
+    import tensorflow as tf
+
+    packed = PackedTensors(container)
+    receiver = instantiate_metagraph_signature(path, "receiver")
+    dtypes = ["bytes" if t.dtype == tf.string else t.dtype.as_numpy_dtype
+              for t in receiver.inputs]
+    tensors = packed.unpack(dtypes)
+    args = []
+    for t, inp in zip(tensors, receiver.inputs):
+        c = tf.constant(np.asarray(t, object) if inp.dtype == tf.string
+                        else t, dtype=inp.dtype)
+        # Scalar RD parameter was expanded to 1-D for the container.
+        if c.dtype.is_floating and c.shape == (1,) and inp.shape.rank == 0:
+            c = tf.squeeze(c, 0)
+        args.append(c)
+    output_image, = receiver(*args)
+    return np.asarray(output_image)
+
+
 def _registry_models(root):
     """Lists checkpoint dirs under the registry root."""
     if not os.path.isdir(root):
@@ -97,7 +181,10 @@ def compress(root, model_name, input_file, output_file, target_bpp=None,
              bpp_strict=False):
     img = datasets.load_image(input_file)
     num_pixels = img.shape[0] * img.shape[1]
-    if target_bpp is None:
+    mg = _metagraph_path(root, model_name)
+    if mg is not None:
+        container = metagraph_compress(mg, model_name, img)
+    elif target_bpp is None:
         codec = _load_codec(root, model_name)
         container = codec.compress(img)
     else:
@@ -135,8 +222,12 @@ def decompress(root, input_file, output_file):
     with open(input_file, "rb") as f:
         container = f.read()
     packed = PackedTensors(container)
-    codec = _load_codec(root, packed.model)
-    img = codec.decompress(container)
+    mg = _metagraph_path(root, packed.model)
+    if mg is not None:
+        img = metagraph_decompress(mg, container)
+    else:
+        codec = _load_codec(root, packed.model)
+        img = codec.decompress(container)
     datasets.save_image(output_file, img)
     print(f"wrote {output_file}")
 
@@ -145,6 +236,10 @@ def list_models(root):
     print("Registered local models:")
     for m in _registry_models(root):
         print(" ", m)
+    if os.path.isdir(root):
+        for f in sorted(os.listdir(root)):
+            if f.endswith(".metagraph"):
+                print(" ", f[: -len(".metagraph")], "(frozen metagraph)")
     print("Known model families:", ", ".join(sorted(_BUILDERS)))
 
 
