@@ -283,8 +283,8 @@ def _merge_ref_baseline(out):
     return out
 
 
-def bench_all(size=512, repeats=3, models=("ms2020", "bmshj2018",
-                                           "bls2017"), deadline=None):
+def bench_all(size=512, repeats=3, models=("ms2020", "bls2017",
+                                           "bmshj2018"), deadline=None):
     """deadline: absolute time.time() after which remaining families are
     skipped (the driver kills bench.py at a fixed budget; a partial
     model table beats a truncated artifact)."""
