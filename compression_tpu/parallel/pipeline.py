@@ -162,12 +162,18 @@ class SidecarBatchCodec:
     Runs the SAME traced entropy-model methods the flagship native
     containers use (`compress_sidecar_device` / `decompress_sidecar_
     device` — escape sidecar compacted on device, wide cond-free coder
-    lanes) data-parallel over the stream axis of a device mesh.  Byte
-    buffers and lengths shard per stream; the compacted escape sidecar
-    and the ok flag are global reductions (XLA inserts the collectives).
+    lanes) data-parallel over the stream axis of a device mesh, via
+    `shard_map`: every device codes its own streams AND compacts its own
+    escapes locally, so the hot path has ZERO collectives (a global
+    escape compaction was measured to wreck scaling — the cumsum +
+    scatter over the sharded flat axis forces all-to-all traffic).  The
+    per-shard sidecars merge into the global flat layout on the host.
     Streams are independent, so container bytes are identical for any
-    device count (SURVEY.md §2.13 DP row).
+    device count (SURVEY.md §2.13 DP row); tables are closed-over
+    constants, i.e. replicated once.
     """
+
+    ESC_BUCKET = 1024  # per-shard sidecar width rounds up to this
 
     def __init__(self, em, mesh: Optional[Mesh] = None):
         self.em = em
@@ -179,12 +185,15 @@ class SidecarBatchCodec:
         self._enc = {}
         self._dec = {}
 
+    @property
+    def _ndata(self):
+        return int(self.mesh.devices.shape[0])
+
     def _data(self, ndim):
         return NamedSharding(self.mesh, P(*(("data",) + (None,) * (ndim - 1))))
 
     def _pad_streams(self, arr, fill=0):
-        n_data = self.mesh.devices.shape[0]
-        pad = (-arr.shape[0]) % n_data
+        pad = (-arr.shape[0]) % self._ndata
         if pad:
             arr = np.concatenate(
                 [arr, np.full((pad,) + arr.shape[1:], fill, arr.dtype)])
@@ -195,43 +204,72 @@ class SidecarBatchCodec:
         the mesh through the EM's traced sidecar compress.
 
         Returns (bytes [S, L] uint8, lengths [S] int32, esc_idx, esc_val,
-        count, ok) exactly as compress_sidecar_device does, trimmed back
-        to the original stream count.
+        count, ok) in the same global flat sidecar layout as
+        compress_sidecar_device (positions over the padded stream count,
+        pad sentinel dropped by the decoder's scatter), trimmed back to
+        the original stream count.
         """
+        from jax.experimental.shard_map import shard_map
+
         rows = np.asarray(rows)
         s_orig = rows.shape[0]
         rows = self._pad_streams(rows)
+        n = int(np.prod(rows.shape[1:]))
+        nd = self._ndata
+        s_local = rows.shape[0] // nd
         key = (rows.shape, escape_budget)
         if key not in self._enc:
             em = self.em
 
-            def encode(rr):
-                return em.compress_sidecar_device(
+            def local_enc(rr):
+                buf, lens, ei, ev, cnt, ok = em.compress_sidecar_device(
                     rr, escape_budget=escape_budget)
+                return (buf, lens, ei[None], ev[None],
+                        cnt.reshape(1), ok.reshape(1))
 
-            self._enc[key] = jax.jit(
-                encode, in_shardings=self._data(rows.ndim))
+            self._enc[key] = jax.jit(shard_map(
+                local_enc, mesh=self.mesh,
+                in_specs=P("data"),
+                out_specs=(P("data"), P("data"), P("data"), P("data"),
+                           P("data"), P("data")),
+                check_rep=False))
         fn = self._enc[key]
-        data = self._data(rows.ndim)
         with self.timer("encode"):
             with self.timer("encode_put"):
-                rows_d = jax.device_put(jnp.asarray(rows), data)
+                rows_d = jax.device_put(
+                    jnp.asarray(rows), self._data(rows.ndim))
                 jax.block_until_ready(rows_d)
             with self.timer("encode_compute"):
                 out = jax.block_until_ready(fn(rows_d))
             with self.timer("encode_gather"):
-                buf, lengths, esc_idx, esc_val, count, ok = map(
-                    np.asarray, out)
-        return buf[:s_orig], lengths[:s_orig], esc_idx, esc_val, count, ok
+                buf, lengths, ei, ev, cnt, ok = map(np.asarray, out)
+        # Host merge: local shard positions -> global flat layout.
+        parts_i, parts_v = [], []
+        for i in range(nd):
+            c = int(cnt[i])
+            parts_i.append(ei[i, :c].astype(np.int64) + i * s_local * n)
+            parts_v.append(ev[i, :c])
+        count = int(cnt.sum())
+        width = max(self.ESC_BUCKET,
+                    -(-max(count, 1) // self.ESC_BUCKET) * self.ESC_BUCKET)
+        esc_idx = np.full((width,), rows.shape[0] * n, np.int32)
+        esc_val = np.zeros((width,), np.int32)
+        if count:
+            esc_idx[:count] = np.concatenate(parts_i).astype(np.int32)
+            esc_val[:count] = np.concatenate(parts_v)
+        return (buf[:s_orig], lengths[:s_orig], esc_idx, esc_val,
+                np.int32(count), bool(ok.all()))
 
     def decode(self, buf, lengths, broadcast_shape, esc_idx, esc_val):
         """Decodes per-stream byte buffers sharded over the mesh through
         the EM's traced sidecar decompress.
 
-        Escape positions are flat indices over the ORIGINAL stream
-        count; stream padding appends empty streams after them, so the
-        flat layout is unchanged.
+        Escape positions are global flat indices (encode's output
+        layout); the host splits them per shard so each device applies
+        only its own escapes — no collectives.
         """
+        from jax.experimental.shard_map import shard_map
+
         buf = np.asarray(buf, np.uint8)
         lengths = np.asarray(lengths, np.int32)
         s_orig = buf.shape[0]
@@ -239,24 +277,48 @@ class SidecarBatchCodec:
         src16 = self._pad_streams(src16)
         lengths = self._pad_streams(lengths)
         broadcast_shape = tuple(int(s) for s in broadcast_shape)
-        key = (src16.shape, broadcast_shape, esc_idx.shape[0])
+        nd = self._ndata
+        s_pad = src16.shape[0]
+        s_local = s_pad // nd
+        n = int(np.prod(broadcast_shape)) * int(
+            np.prod(self.em.prior_shape))
+        # Split the global sidecar per shard (escapes only ever point at
+        # real streams, which precede the padding).
+        esc_idx = np.asarray(esc_idx, np.int64)
+        esc_val = np.asarray(esc_val, np.int32)
+        valid = esc_idx < s_orig * n
+        pos, val = esc_idx[valid], esc_val[valid]
+        shard = (pos // (s_local * n)).astype(np.int64)
+        local = (pos - shard * s_local * n).astype(np.int32)
+        k = max(self.ESC_BUCKET, -(-max(
+            int(np.bincount(shard, minlength=nd).max(initial=1)), 1)
+            // self.ESC_BUCKET) * self.ESC_BUCKET)
+        ei = np.full((nd, k), s_local * n, np.int32)
+        ev = np.zeros((nd, k), np.int32)
+        for i in range(nd):
+            m = shard == i
+            ei[i, : int(m.sum())] = local[m]
+            ev[i, : int(m.sum())] = val[m]
+        key = (src16.shape, broadcast_shape, k)
         if key not in self._dec:
             em = self.em
 
-            def decode(s16, lens, ei, ev):
+            def local_dec(s16, lens, eii, evv):
                 return em.decompress_sidecar_device(
-                    s16, lens, broadcast_shape, ei, ev)
+                    s16, lens, broadcast_shape, eii[0], evv[0])
 
-            rep = NamedSharding(self.mesh, P())
-            self._dec[key] = jax.jit(
-                decode,
-                in_shardings=(self._data(2), self._data(1), rep, rep))
+            self._dec[key] = jax.jit(shard_map(
+                local_dec, mesh=self.mesh,
+                in_specs=(P("data"), P("data"), P("data"), P("data")),
+                out_specs=(P("data"), P("data")),
+                check_rep=False))
         fn = self._dec[key]
         with self.timer("decode"):
             with self.timer("decode_put"):
                 args = (jax.device_put(jnp.asarray(src16), self._data(2)),
                         jax.device_put(jnp.asarray(lengths), self._data(1)),
-                        jnp.asarray(esc_idx), jnp.asarray(esc_val))
+                        jax.device_put(jnp.asarray(ei), self._data(2)),
+                        jax.device_put(jnp.asarray(ev), self._data(2)))
                 jax.block_until_ready(args)
             with self.timer("decode_compute"):
                 out, sanity = jax.block_until_ready(fn(*args))
