@@ -208,16 +208,16 @@ def _decompose_decode(codec, name, container, x8):
         # reuse its host-side parse by calling through once more and
         # timing the cached jits with representative inputs.
         flat = _ms2020_flat(codec, packed)
-        z_ms = devms(lambda k: kloop(
-            lambda ff: dec_z(ff)[0],
-            lambda o: o.reshape(-1)[:1])((flat,), k))
+        run_z = kloop(lambda ff: dec_z(ff)[0],
+                      lambda o: o.reshape(-1)[:1])
+        z_ms = devms(lambda k: run_z((flat,), k))
         # One slice decode, scaled by num_slices (equal geometry).
         ns = codec.model.num_slices
         args = _ms2020_slice_args(codec, packed)
-        s_ms = devms(lambda k: kloop(
-            lambda bb, ln, sig, mm, ei, ev: dec_slice(
-                bb, ln, sig, mm, ei, ev)[0],
-            lambda o: o.reshape(-1)[:1])(args, k))
+        run_s = kloop(lambda bb, ln, sig, mm, ei, ev: dec_slice(
+            bb, ln, sig, mm, ei, ev)[0],
+            lambda o: o.reshape(-1)[:1])
+        s_ms = devms(lambda k: run_s(args, k))
         out["z_decode_device_ms"] = z_ms
         out["slice_decode_device_ms"] = s_ms
         out["coder_decode_device_ms"] = round(z_ms + ns * s_ms, 3)
@@ -230,22 +230,23 @@ def _decompose_decode(codec, name, container, x8):
             del x_hat, sanity, x_hw
             fn = next(iter(codec._native_decoders.values()))
             flat = _bls_flat(codec, packed)
-            ms = devms(lambda k: kloop(
-                lambda ff: fn(ff)[0],
-                lambda o: o.reshape(-1)[:1])((flat,), k))
-            out["coder_decode_device_ms"] = ms
+            run = kloop(lambda ff: fn(ff)[0],
+                        lambda o: o.reshape(-1)[:1])
+            out["coder_decode_device_ms"] = devms(
+                lambda k: run((flat,), k))
         else:
             sub = codec._native_dec_submit(packed)
             del sub
             dec_z, dec_y = next(iter(codec._native_decoders.values()))
             flat = _bmshj_flat(codec, packed)
-            z_ms = devms(lambda k: kloop(
-                lambda ff: dec_z(ff)[0],
-                lambda o: o.reshape(-1)[:1])((flat,), k))
+            run_z = kloop(lambda ff: dec_z(ff)[0],
+                          lambda o: o.reshape(-1)[:1])
+            z_ms = devms(lambda k: run_z((flat,), k))
             args = _bmshj_y_args(codec, packed)
-            y_ms = devms(lambda k: kloop(
-                lambda idx, bb, ln, ei, ev: dec_y(idx, bb, ln, ei, ev)[0],
-                lambda o: o.reshape(-1)[:1])(args, k))
+            run_y = kloop(lambda idx, bb, ln, ei, ev: dec_y(
+                idx, bb, ln, ei, ev)[0],
+                lambda o: o.reshape(-1)[:1])
+            y_ms = devms(lambda k: run_y(args, k))
             out["z_decode_device_ms"] = z_ms
             out["y_decode_device_ms"] = y_ms
             out["coder_decode_device_ms"] = round(z_ms + y_ms, 3)
