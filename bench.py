@@ -453,7 +453,10 @@ def main():
     from compression_tpu.util import compile_cache
     compile_cache.enable()  # env-var route is too late under axon
     t_start = time.time()
-    deadline = t_start + float(os.environ.get("BENCH_DEADLINE_S", "640"))
+    # 700s: round-4 rehearsals ran rc=0 at ~720s total, so the driver
+    # budget exceeds that; the deadline is checked between families AND
+    # between rows, so saturation degrades to partial rows, not rc!=0.
+    deadline = t_start + float(os.environ.get("BENCH_DEADLINE_S", "700"))
     table, symbols, cdf = make_workload()
     value, t_enc, t_dec, spread = bench_tpu(table, symbols)
     n = NUM_STREAMS * NUM_ELEMENTS

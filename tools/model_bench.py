@@ -162,7 +162,21 @@ def _build(name, size):
     return codec_cls(model, params)
 
 
-def bench_model(name, size=512, repeats=3):
+def bench_model(name, size=512, repeats=3, deadline=None):
+    """deadline: absolute time.time() after which remaining ROWS are
+    skipped (native rows first = highest evidential value; a partial
+    family row set still records the cells that matter)."""
+    def expired():
+        return deadline is not None and time.time() > deadline
+
+    def finish(rows):
+        for key in list(rows):
+            if (isinstance(rows[key], dict) and "median_ms" in rows[key]
+                    and "images_per_s" not in rows[key]):
+                rows[key]["images_per_s"] = round(
+                    1e3 / rows[key]["median_ms"], 2)
+        return rows
+
     codec = _build(name, size)
     rng = np.random.RandomState(7)
     x8 = rng.randint(0, 256, (size, size, 3)).astype(np.uint8)
@@ -179,6 +193,9 @@ def bench_model(name, size=512, repeats=3):
         lambda: codec.decompress(native), repeats)
     assert np.array_equal(codec.decompress(native),
                           codec.reconstruct(x8)), f"{name} native roundtrip"
+    if expired():
+        rows["rows_skipped"] = "bench deadline reached"
+        return finish(rows)
 
     container = codec.compress(x8)
     rows["classic_bytes"] = len(container)
@@ -189,6 +206,9 @@ def bench_model(name, size=512, repeats=3):
     # Round-trip contract while we're here.
     assert np.array_equal(codec.decompress(container),
                           codec.reconstruct(x8)), f"{name} classic roundtrip"
+    if expired():
+        rows["rows_skipped"] = "bench deadline reached"
+        return finish(rows)
 
     # The single-jit classic-format device paths (r3's experiment,
     # superseded by the chained native paths) cost minutes of remote XLA
@@ -211,10 +231,9 @@ def bench_model(name, size=512, repeats=3):
     # (BENCH_TRANSFORMS=1 opts in).
     if os.environ.get("BENCH_TRANSFORMS", "0") == "1":
         rows["transform"] = _transform_times(codec, x8)
-    for key in list(rows):
-        if isinstance(rows[key], dict) and "median_ms" in rows[key]:
-            rows[key]["images_per_s"] = round(
-                1e3 / rows[key]["median_ms"], 2)
+    if expired():
+        rows["rows_skipped"] = "bench deadline reached"
+        return finish(rows)
 
     # Steady-state (throughput) mode: N images pipelined through the
     # async dispatch queue (per-image tunnel RTTs overlap).  images_per_s
@@ -240,7 +259,7 @@ def bench_model(name, size=512, repeats=3):
                            max(repeats - 1, 1))
         t["images_per_s"] = round(8e3 / t["median_ms"], 2)
         rows["native_decompress_batch8"] = t
-    return rows
+    return finish(rows)
 
 
 def _merge_ref_baseline(out):
@@ -297,7 +316,8 @@ def bench_all(size=512, repeats=3, models=("ms2020", "bls2017",
             continue
         t0 = time.time()
         try:
-            out[name] = bench_model(name, size=size, repeats=repeats)
+            out[name] = bench_model(name, size=size, repeats=repeats,
+                                    deadline=deadline)
             out[name]["total_bench_s"] = round(time.time() - t0, 1)
         except Exception as e:  # noqa: BLE001 — report, keep benching
             import traceback
