@@ -228,3 +228,64 @@ class TestHostRoute:
         out, sanity = jax_coder.decode_streams(buf, lens, 50, table)
         assert jax_coder.DISPATCH_LOG["decode"] == "host"
         assert np.array_equal(out, sym) and sanity.all()
+
+
+class TestCompactStreams:
+    """Device-side stream compaction for packed fetches (round 5:
+    the tunnel charges ~35-65 us/KB, so padded [S, W] buffers ship as
+    tight per-stream-aligned word buffers)."""
+
+    def _case(self, s, w, seed=0, budget_extra=3):
+        import jax
+        import jax.numpy as jnp
+        rng = np.random.RandomState(seed)
+        buf = rng.randint(0, 256, (s, w)).astype(np.uint8)
+        lens = rng.randint(0, w + 1, s).astype(np.int32)
+        budget = int(np.sum((lens + 3) // 4)) + budget_extra
+        words, ok = jax.jit(
+            lambda b, l: jax_coder.compact_streams(b, l, budget))(
+                jnp.asarray(buf), jnp.asarray(lens))
+        return buf, lens, np.asarray(words), bool(ok)
+
+    def test_matches_to_bytes_list(self):
+        buf, lens, words, ok = self._case(17, 40)
+        assert ok
+        assert (jax_coder.compact_to_bytes_list(words, lens)
+                == jax_coder.to_bytes_list(buf, lens))
+
+    def test_zero_length_streams(self):
+        buf, lens, words, ok = self._case(5, 8, seed=1)
+        lens[:] = 0
+        import jax, jax.numpy as jnp
+        words, ok = jax.jit(
+            lambda b, l: jax_coder.compact_streams(b, l, 4))(
+                jnp.asarray(buf), jnp.asarray(lens))
+        assert bool(ok)
+        assert jax_coder.compact_to_bytes_list(
+            np.asarray(words), lens) == [b""] * 5
+
+    def test_budget_overflow_flags_not_ok(self):
+        import jax, jax.numpy as jnp
+        rng = np.random.RandomState(2)
+        buf = rng.randint(0, 256, (4, 16)).astype(np.uint8)
+        lens = np.full(4, 16, np.int32)
+        _, ok = jax.jit(
+            lambda b, l: jax_coder.compact_streams(b, l, 3))(
+                jnp.asarray(buf), jnp.asarray(lens))
+        assert not bool(ok)
+
+    def test_rejects_unaligned_width(self):
+        import jax.numpy as jnp
+        with np.testing.assert_raises(ValueError):
+            jax_coder.compact_streams(
+                jnp.zeros((2, 6), jnp.uint8), jnp.zeros(2, jnp.int32), 8)
+
+
+def test_chunks_from_bytes_jit_matches_host():
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.RandomState(3)
+    buf = rng.randint(0, 256, (7, 24)).astype(np.uint8)
+    got = jax.jit(jax_coder.chunks_from_bytes_jit)(jnp.asarray(buf))
+    np.testing.assert_array_equal(
+        np.asarray(got), jax_coder.bytes_to_chunks(buf, None))

@@ -56,3 +56,60 @@ def test_mesh_factorization():
     mesh = make_mesh(8)
     assert mesh.devices.size == 8
     assert mesh.axis_names == ("data", "model")
+
+
+class TestSidecarBatchCodec:
+    """The flagship sidecar stack sharded over the mesh (shard_map,
+    collective-free; __graft_entry__.dryrun_multichip runs the same
+    path)."""
+
+    @pytest.fixture(scope="class")
+    def em(self):
+        from compression_tpu.distributions import (
+            deep_factorized, uniform_noise)
+        from compression_tpu.entropy_models import (
+            ContinuousBatchedEntropyModel)
+        prior = uniform_noise.UniformNoiseAdapter(
+            deep_factorized.DeepFactorized(
+                params=deep_factorized.DeepFactorized.init_params(
+                    jax.random.PRNGKey(2), (8,)),
+                batch_shape=(8,)))
+        return ContinuousBatchedEntropyModel(
+            prior=prior, coding_rank=3, compression=True)
+
+    def _rows(self, s, w=16, c=8, seed=0):
+        rng = np.random.RandomState(seed)
+        rows = rng.normal(0, 2, size=(s, 1, w, c)).astype(np.float32)
+        rows[0, 0, 0, 0] = 500.0  # escapes ride the sidecar
+        rows[1, 0, 1, 1] = -400.0
+        return rows
+
+    def test_roundtrip_with_escapes(self, em):
+        from compression_tpu.parallel import SidecarBatchCodec
+        rows = self._rows(16)
+        codec = SidecarBatchCodec(em, make_mesh())
+        buf, lens, ei, ev, count, ok = codec.encode(rows)
+        assert ok and int(count) >= 2
+        out, sanity = codec.decode(buf, lens, (1, 16), ei, ev)
+        assert sanity.all()
+        np.testing.assert_array_equal(out, np.asarray(em.quantize(rows)))
+
+    def test_bytes_match_unsharded_sidecar(self, em):
+        from compression_tpu.parallel import SidecarBatchCodec
+        rows = self._rows(16, seed=3)
+        codec = SidecarBatchCodec(em, make_mesh())
+        buf, lens, *_ = codec.encode(rows)
+        buf1, lens1, _, _ = em.compress_sidecar(rows)
+        assert (jax_coder.to_bytes_list(buf, lens)
+                == jax_coder.to_bytes_list(
+                    buf1.reshape(16, -1), lens1.reshape(-1)))
+
+    def test_non_divisible_stream_count(self, em):
+        from compression_tpu.parallel import SidecarBatchCodec
+        rows = self._rows(13, seed=5)
+        codec = SidecarBatchCodec(em, make_mesh())
+        buf, lens, ei, ev, count, ok = codec.encode(rows)
+        assert ok
+        out, sanity = codec.decode(buf, lens, (1, 16), ei, ev)
+        assert sanity.all()
+        np.testing.assert_array_equal(out, np.asarray(em.quantize(rows)))
