@@ -503,85 +503,12 @@ if __name__ == "__main__":
     main()
 
 
-def _codec_device_decode(codec, container):
-    """Single-jit decode for BLS2017Codec (entropy decode + synthesis)."""
-    import jax.numpy as jnp_
-
-    from compression_tpu.codec import jax_coder as jc
-
-    packed = PackedTensors(container)
-    assert packed.model == codec.MODEL_ID
-    strings, x_shape, y_shape = packed.unpack(["bytes", np.int32, np.int32])
-    buf, lens = jc.from_bytes_list(list(strings))
-    src16 = jnp_.asarray(jc.bytes_to_chunks(buf, lens))
-    key = (tuple(y_shape), src16.shape[1])
-    fn = codec._device_decoders.get(key) if hasattr(
-        codec, "_device_decoders") else None
-    if not hasattr(codec, "_device_decoders"):
-        codec._device_decoders = {}
-    if fn is None:
-        y_shape_t = tuple(int(s) for s in y_shape)
-
-        def decode_all(params, src16, lens):
-            y_hat, _ = codec.em.decompress_device(src16, lens, y_shape_t)
-            return codec.model.apply(
-                params, y_hat, method=BLS2017Model.decode)
-
-        fn = jax.jit(decode_all)
-        codec._device_decoders[key] = fn
-    x_hat = fn(codec.params, src16, jnp_.asarray(lens))
-    x_hat = np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
-    return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
-
-
-BLS2017Codec.decompress_on_device = _codec_device_decode
-
-
-def _codec_device_compress(codec, x):
-    """Single-jit compress: analysis + entropy coding in one program.
-
-    Returns .tfci container bytes; byte-identical to compress().
-    """
-    import jax.numpy as jnp_
-
-    from compression_tpu.codec import jax_coder as jc
-
-    x = jnp_.asarray(x, jnp_.float32)[None]
-    if not hasattr(codec, "_device_encoders"):
-        codec._device_encoders = {}
-    key = x.shape
-    fn = codec._device_encoders.get(key)
-    if fn is None:
-        def encode_all(params, x):
-            y = codec.model.apply(params, x, method=BLS2017Model.encode)
-            buf, lengths, ok = codec.em.compress_device(y)
-            return y.shape[1:-1], buf, lengths, ok
-
-        fn = jax.jit(lambda p, x: encode_all(p, x)[1:])
-        # Latent spatial shape is static; compute it once by tracing shapes.
-        y_shape = jax.eval_shape(
-            lambda p, x: codec.model.apply(
-                p, x, method=BLS2017Model.encode), codec.params, x
-        ).shape[1:-1]
-        codec._device_encoders[key] = (fn, y_shape)
-    fn, y_shape = codec._device_encoders[key]
-    buf, lengths, ok = fn(codec.params, x)
-    if not bool(ok):
-        # Escape budget exceeded (extreme outliers): host path fallback.
-        import warnings
-        warnings.warn(
-            "compress_on_device escape budget exceeded (extreme outlier "
-            "latents); falling back to the host compress path for this "
-            "image. Re-trace with a larger escape_budget to keep this "
-            "workload on device.", RuntimeWarning, stacklevel=2)
-        return codec.compress(np.asarray(x)[0].astype(np.uint8))
-    strings = jc.to_bytes_list(
-        np.asarray(buf).reshape(1, -1), np.asarray(lengths).reshape(-1))
-    packed = PackedTensors()
-    packed.model = codec.MODEL_ID
-    packed.pack([strings, np.asarray(x.shape[1:-1], np.int32),
-                 np.asarray(y_shape, np.int32)])
-    return packed.string
-
-
-BLS2017Codec.compress_on_device = _codec_device_compress
+# The round-3 single-jit device codec paths (compress_on_device /
+# decompress_on_device: transforms + entropy coding in ONE XLA program)
+# were DEPRECATED and removed in round 5: the post-compile-cache
+# measurement (docs/device_paths.json) showed them 10-15x slower than
+# the chained-dispatch native container in both directions on every
+# family — one giant program serializes the in-stream gamma decode and
+# cannot overlap the tunnel, while chained dispatch pipelines it.  The
+# EM-level building blocks (compress_device / decompress_device on the
+# entropy models) remain supported and tested.

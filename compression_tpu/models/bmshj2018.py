@@ -633,105 +633,10 @@ if __name__ == "__main__":
     main()
 
 
-def _codec_device_decode(codec, container):
-    """Single-jit decode for BMSHJ2018Codec: side stream, hyper synthesis,
-    y stream and synthesis all inside one compiled program."""
-    import jax.numpy as jnp_
-
-    from compression_tpu.codec import jax_coder as jc
-
-    packed = PackedTensors(container)
-    assert packed.model == codec.MODEL_ID
-    strings, side_strings, x_shape, y_shape, z_shape = packed.unpack(
-        ["bytes", "bytes", np.int32, np.int32, np.int32])
-    y_buf, y_lens = jc.from_bytes_list(list(strings))
-    z_buf, z_lens = jc.from_bytes_list(list(side_strings))
-    y16 = jnp_.asarray(jc.bytes_to_chunks(y_buf, y_lens))
-    z16 = jnp_.asarray(jc.bytes_to_chunks(z_buf, z_lens))
-    if not hasattr(codec, "_device_decoders"):
-        codec._device_decoders = {}
-    key = (tuple(y_shape), tuple(z_shape), y16.shape[1], z16.shape[1])
-    fn = codec._device_decoders.get(key)
-    if fn is None:
-        y_shape_t = tuple(int(s) for s in y_shape)
-        z_shape_t = tuple(int(s) for s in z_shape)
-
-        def decode_all(params, y16, y_lens, z16, z_lens):
-            z_hat, _ = codec.side_em.decompress_device(
-                z16, z_lens, z_shape_t)
-            indexes = codec.model.apply(
-                params, z_hat, method=BMSHJ2018Model.hyper_decode)
-            indexes = indexes[:, : y_shape_t[0], : y_shape_t[1], :]
-            y_hat, _ = codec.em.decompress_device(y16, y_lens, indexes)
-            return codec.model.apply(
-                params, y_hat, method=BMSHJ2018Model.decode)
-
-        fn = jax.jit(decode_all)
-        codec._device_decoders[key] = fn
-    x_hat = fn(codec.params, y16, jnp_.asarray(y_lens), z16,
-               jnp_.asarray(z_lens))
-    x_hat = np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
-    return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
-
-
-BMSHJ2018Codec.decompress_on_device = _codec_device_decode
-
-
-def _codec_device_compress(codec, x):
-    """Single-jit compress for BMSHJ2018Codec: analysis, hyper analysis,
-    both entropy encoders and the hyper synthesis all inside one compiled
-    program.  Returns .tfci container bytes; byte-identical to compress()."""
-    import jax.numpy as jnp_
-
-    from compression_tpu.codec import jax_coder as jc
-
-    x = jnp_.asarray(x, jnp_.float32)[None]
-    if not hasattr(codec, "_device_encoders"):
-        codec._device_encoders = {}
-    key = x.shape
-    cached = codec._device_encoders.get(key)
-    if cached is None:
-        y_aval, z_aval = jax.eval_shape(
-            lambda p, x: codec.model.apply(
-                p, x, method=BMSHJ2018Model.encode), codec.params, x)
-        y_shape = y_aval.shape[1:-1]
-        z_shape = z_aval.shape[1:-1]
-
-        def encode_all(params, x):
-            y, z = codec.model.apply(
-                params, x, method=BMSHJ2018Model.encode)
-            z_buf, z_lens, z_ok = codec.side_em.compress_device(z)
-            z_hat = codec.side_em.quantize(z)
-            indexes = codec.model.apply(
-                params, z_hat, method=BMSHJ2018Model.hyper_decode)
-            indexes = indexes[:, : y.shape[1], : y.shape[2], :]
-            y_buf, y_lens, y_ok = codec.em.compress_device(y, indexes)
-            return y_buf, y_lens, z_buf, z_lens, y_ok & z_ok
-
-        cached = (jax.jit(encode_all), y_shape, z_shape)
-        codec._device_encoders[key] = cached
-    fn, y_shape, z_shape = cached
-    y_buf, y_lens, z_buf, z_lens, ok = fn(codec.params, x)
-    if not bool(ok):
-        # Escape budget exceeded (extreme outliers): host path fallback.
-        import warnings
-        warnings.warn(
-            "compress_on_device escape budget exceeded (extreme outlier "
-            "latents); falling back to the host compress path for this "
-            "image. Re-trace with a larger escape_budget to keep this "
-            "workload on device.", RuntimeWarning, stacklevel=2)
-        return codec.compress(np.asarray(x)[0].astype(np.uint8))
-    strings = jc.to_bytes_list(
-        np.asarray(y_buf).reshape(1, -1), np.asarray(y_lens).reshape(-1))
-    side_strings = jc.to_bytes_list(
-        np.asarray(z_buf).reshape(1, -1), np.asarray(z_lens).reshape(-1))
-    packed = PackedTensors()
-    packed.model = codec.MODEL_ID
-    packed.pack([strings, side_strings,
-                 np.asarray(x.shape[1:-1], np.int32),
-                 np.asarray(y_shape, np.int32),
-                 np.asarray(z_shape, np.int32)])
-    return packed.string
-
-
-BMSHJ2018Codec.compress_on_device = _codec_device_compress
+# The round-3 single-jit device codec paths (compress_on_device /
+# decompress_on_device) were DEPRECATED and removed in round 5: the
+# post-compile-cache measurement (docs/device_paths.json) showed them
+# 10-15x slower than the chained-dispatch native container in both
+# directions — one giant program serializes the in-stream gamma decode
+# and cannot overlap the tunnel.  The EM-level building blocks
+# (compress_device / decompress_device) remain supported and tested.

@@ -346,9 +346,6 @@ class MS2020Codec:
             lambda p, i, ms, yh: m.apply(
                 p, i, ms, yh, method=MS2020Model.lrp),
             static_argnums=(1,))
-        self._device_decoders = {}
-        self._device_encoders = {}
-
     def compress(self, x) -> bytes:
         x = jnp.asarray(x)[None]
         y, z = self._encode(self.params, x)
@@ -871,138 +868,13 @@ class MS2020Codec:
         x_hat = self._decode_u8(self.params, y_hat)
         return np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
 
-    def compress_on_device(self, x) -> bytes:
-        """Single-jit compress: analysis, hyper coding, all slice
-        conditioning and range encoding in ONE compiled program; only the
-        container pack runs on the host.  Byte-identical to compress()."""
-        from compression_tpu.codec import jax_coder as jc
-
-        x = jnp.asarray(x, jnp.float32)[None]
-        cached = self._device_encoders.get(x.shape)
-        if cached is None:
-            y_aval, z_aval = jax.eval_shape(
-                lambda p, x: self.model.apply(
-                    p, x, method=MS2020Model.encode), self.params, x)
-            y_shape = y_aval.shape[1:-1]
-            z_shape = z_aval.shape[1:-1]
-            cached = (self._build_device_encoder(y_shape), y_shape, z_shape)
-            self._device_encoders[x.shape] = cached
-        fn, y_shape, z_shape = cached
-        z_buf, z_lens, y_bufs, y_lens, ok = fn(self.params, x)
-        if not bool(ok):
-            # Escape budget exceeded (extreme outliers): host fallback.
-            import warnings
-            warnings.warn(
-                "compress_on_device escape budget exceeded (extreme outlier "
-                "latents); falling back to the host compress path for this "
-                "image. Re-trace with a larger escape_budget to keep this "
-                "workload on device.", RuntimeWarning, stacklevel=2)
-            return self.compress(np.asarray(x)[0].astype(np.uint8))
-        z_strings = jc.to_bytes_list(
-            np.asarray(z_buf).reshape(1, -1), np.asarray(z_lens).reshape(-1))
-        y_strings = jc.to_bytes_list(np.asarray(y_bufs), np.asarray(y_lens))
-        packed = PackedTensors()
-        packed.model = self.MODEL_ID
-        packed.pack(
-            [np.asarray(x.shape[1:-1], np.int32),
-             np.asarray(y_shape, np.int32),
-             np.asarray(z_shape, np.int32), z_strings]
-            + [[s] for s in y_strings])
-        return packed.string
-
-    def _build_device_encoder(self, y_shape):
-        model, em_z, em_y = self.model, self.em_z, self.em_y
-        num_slices = model.num_slices
-
-        def encode_all(params, x):
-            y, z = model.apply(params, x, method=MS2020Model.encode)
-            z_buf, z_lens, ok = em_z.compress_device(z)
-            z_hat = em_z.quantize(z)
-            latent_scales, latent_means = model.apply(
-                params, z_hat, method=MS2020Model.hyper_decode)
-            y_slices = jnp.split(y, num_slices, axis=-1)
-            y_hat_slices = []
-            y_bufs = []
-            y_lens = []
-            for i, y_slice in enumerate(y_slices):
-                support = (y_hat_slices if model.max_support_slices < 0
-                           else y_hat_slices[: model.max_support_slices])
-                mu, sigma, mean_support = model.apply(
-                    params, i, latent_means, latent_scales, tuple(support),
-                    y_shape, method=MS2020Model.slice_params)
-                buf_i, len_i, ok_i = em_y.compress_device(
-                    y_slice, sigma, loc=mu)
-                ok = ok & ok_i
-                y_bufs.append(buf_i.reshape(1, -1))
-                y_lens.append(len_i.reshape(1))
-                y_hat_slice = em_y.quantize(y_slice, mu)
-                y_hat_slice = y_hat_slice + model.apply(
-                    params, i, mean_support, y_hat_slice,
-                    method=MS2020Model.lrp)
-                y_hat_slices.append(y_hat_slice)
-            return (z_buf.reshape(1, -1), z_lens.reshape(1),
-                    jnp.concatenate(y_bufs, axis=0),
-                    jnp.concatenate(y_lens, axis=0), ok)
-
-        return jax.jit(encode_all)
-
-    def decompress_on_device(self, container: bytes) -> np.ndarray:
-        """Single-jit decode: hyper decode, all 10 autoregressive slices,
-        their range decoding, LRP and synthesis run in ONE compiled program
-        on device — the container parse is the only host work.  (The
-        reference crosses device<->host ~20x per image,
-        models/ms2020.py:391-430; SURVEY.md hard part #5.)
-        """
-        packed = PackedTensors(container)
-        assert packed.model == self.MODEL_ID
-        fields = packed.unpack(
-            [np.int32, np.int32, np.int32, "bytes"]
-            + ["bytes"] * self.model.num_slices)
-        x_shape, y_shape, z_shape, z_strings = fields[:4]
-        y_strings = [f[0] for f in fields[4:]]
-
-        from compression_tpu.codec import jax_coder as jc
-        z_buf, z_lens = jc.from_bytes_list(list(z_strings))
-        z16 = jnp.asarray(jc.bytes_to_chunks(z_buf, z_lens))
-        y_bufs, y_lens = jc.from_bytes_list(y_strings)
-        y16 = jnp.asarray(jc.bytes_to_chunks(y_bufs, y_lens))
-        key = (tuple(z_shape), tuple(y_shape), z16.shape[1], y16.shape[1])
-        fn = self._device_decoders.get(key)
-        if fn is None:
-            fn = self._build_device_decoder(
-                tuple(int(s) for s in z_shape),
-                tuple(int(s) for s in y_shape))
-            self._device_decoders[key] = fn
-        x_hat = fn(self.params, z16, jnp.asarray(z_lens), y16,
-                   jnp.asarray(y_lens))
-        x_hat = np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
-        return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
-
-    def _build_device_decoder(self, z_shape, y_shape):
-        model, em_z, em_y = self.model, self.em_z, self.em_y
-        num_slices = model.num_slices
-
-        def decode_all(params, z16, z_lens, y16, y_lens):
-            z_hat, _ = em_z.decompress_device(z16, z_lens, z_shape)
-            latent_scales, latent_means = model.apply(
-                params, z_hat, method=MS2020Model.hyper_decode)
-            y_hat_slices = []
-            for i in range(num_slices):
-                support = (y_hat_slices if model.max_support_slices < 0
-                           else y_hat_slices[: model.max_support_slices])
-                mu, sigma, mean_support = model.apply(
-                    params, i, latent_means, latent_scales, tuple(support),
-                    y_shape, method=MS2020Model.slice_params)
-                y_hat_slice, _ = em_y.decompress_device(
-                    y16[i : i + 1], y_lens[i : i + 1], sigma, loc=mu)
-                y_hat_slice = y_hat_slice + model.apply(
-                    params, i, mean_support, y_hat_slice,
-                    method=MS2020Model.lrp)
-                y_hat_slices.append(y_hat_slice)
-            y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-            return model.apply(params, y_hat, method=MS2020Model.decode)
-
-        return jax.jit(decode_all)
+    # The round-3 single-jit device codec paths (compress_on_device /
+    # decompress_on_device) were DEPRECATED and removed in round 5: the
+    # post-compile-cache measurement (docs/device_paths.json) showed them
+    # 10-15x slower than the chained-dispatch native container in both
+    # directions — one giant program serializes the in-stream gamma decode
+    # and cannot overlap the tunnel.  The EM-level building blocks
+    # (compress_device / decompress_device) remain supported and tested.
 
     def reconstruct(self, x) -> np.ndarray:
         """Eval-mode reconstruction WITHOUT the range coder: quantized

@@ -83,28 +83,6 @@ class TestCodec:
         assert x_hat.shape == x8.shape
 
 
-def test_on_device_decode_matches_host():
-    model = small_model()
-    params = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=False)
-    codec = bls2017.BLS2017Codec(model, params)
-    x8 = np.random.RandomState(11).randint(
-        0, 256, (64, 64, 3)).astype(np.uint8)
-    container = codec.compress(x8)
-    np.testing.assert_array_equal(
-        codec.decompress(container), codec.decompress_on_device(container))
-
-
-def test_on_device_compress_matches_host():
-    model = small_model()
-    params = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=False)
-    codec = bls2017.BLS2017Codec(model, params)
-    x8 = np.random.RandomState(13).randint(
-        0, 256, (64, 64, 3)).astype(np.uint8)
-    assert codec.compress_on_device(x8) == codec.compress(x8)
-
-
 def test_native_container_matches_classic():
     """Native (multi-stream + sidecar) container decodes to the exact same
     image as the reference-format container."""

@@ -79,31 +79,6 @@ class TestCodec:
         assert len(fields) == 4 + model.num_slices
 
 
-def test_on_device_decode_matches_host_path():
-    """Single-jit AR decode (entropy decoding included) must reproduce the
-    host-loop decode exactly."""
-    model = tiny_model()
-    params = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=False)
-    codec = ms2020.MS2020Codec(model, params)
-    x8 = np.random.RandomState(9).randint(
-        0, 256, (64, 64, 3)).astype(np.uint8)
-    container = codec.compress(x8)
-    host = codec.decompress(container)
-    device = codec.decompress_on_device(container)
-    np.testing.assert_array_equal(host, device)
-
-
-def test_on_device_compress_matches_host():
-    model = tiny_model()
-    params = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=False)
-    codec = ms2020.MS2020Codec(model, params)
-    x8 = np.random.RandomState(21).randint(
-        0, 256, (64, 64, 3)).astype(np.uint8)
-    assert codec.compress_on_device(x8) == codec.compress(x8)
-
-
 def test_non_multiple_of_64_input():
     # The reference fails here (uncropped hyper support, ms2020.py:244-263);
     # we crop the support to the latent extent, so any size >= 64 works.
@@ -116,7 +91,6 @@ def test_non_multiple_of_64_input():
     container = codec.compress(x8)
     out = codec.decompress(container)
     assert out.shape == x8.shape
-    assert codec.compress_on_device(x8) == container
 
 
 def test_native_container_matches_classic():

@@ -210,20 +210,9 @@ def bench_model(name, size=512, repeats=3, deadline=None):
         rows["rows_skipped"] = "bench deadline reached"
         return finish(rows)
 
-    # The single-jit classic-format device paths (r3's experiment,
-    # superseded by the chained native paths) cost minutes of remote XLA
-    # compile; opt in via BENCH_DEVICE_PATHS=1.
-    if (os.environ.get("BENCH_DEVICE_PATHS", "0") == "1"
-            and hasattr(codec, "compress_on_device")):
-        dev_container = codec.compress_on_device(x8)
-        assert codec.decompress(dev_container) is not None
-        rows["device_compress"] = _median_spread(
-            lambda: codec.compress_on_device(x8), repeats)
-        rows["device_decompress"] = _median_spread(
-            lambda: codec.decompress_on_device(container), repeats)
-        assert np.array_equal(codec.decompress_on_device(container),
-                              codec.decompress(container)), \
-            f"{name} device decode parity"
+    # The single-jit classic-format device codec paths were measured
+    # once post-compile-cache (docs/device_paths.json: 10-15x slower
+    # than chained dispatch on every family) and removed in round 5.
 
     # Transform k-loop rows cost minutes of remote XLA compile for the
     # k-variants; the MFU story is recorded in docs/ARCHITECTURE.md and
