@@ -386,18 +386,33 @@ int main(int argc, char** argv) {
 """.replace("%PREC%", str(PRECISION))
     try:
         with tempfile.TemporaryDirectory() as tmp:
+            # Cache the compiled baseline binary across bench runs (the
+            # ~30 s g++ invocation was pure deadline pressure), keyed by
+            # the source text.
+            import hashlib
+            tag = hashlib.sha256(src.encode()).hexdigest()[:16]
+            cache_exe = os.path.join(
+                tempfile.gettempdir(), f"bench_ref_{tag}")
             cc = os.path.join(tmp, "bench_ref.cc")
-            exe = os.path.join(tmp, "bench_ref")
-            with open(cc, "w") as f:
-                f.write(src)
-            subprocess.run(
-                ["g++", "-O2", "-std=c++17", "-w",
-                 f"-I{tf_dir}/include", f"-I{ref}", cc,
-                 os.path.join(
-                     ref, "tensorflow_compression/cc/lib/range_coder.cc"),
-                 os.path.join(tf_dir, "libtensorflow_framework.so.2"),
-                 "-Wl,-rpath," + tf_dir, "-o", exe],
-                check=True, capture_output=True, timeout=120)
+            exe = cache_exe if os.path.exists(cache_exe) else os.path.join(
+                tmp, "bench_ref")
+            if not os.path.exists(cache_exe):
+                with open(cc, "w") as f:
+                    f.write(src)
+                subprocess.run(
+                    ["g++", "-O2", "-std=c++17", "-w",
+                     f"-I{tf_dir}/include", f"-I{ref}", cc,
+                     os.path.join(
+                         ref,
+                         "tensorflow_compression/cc/lib/range_coder.cc"),
+                     os.path.join(tf_dir, "libtensorflow_framework.so.2"),
+                     "-Wl,-rpath," + tf_dir, "-o", exe],
+                    check=True, capture_output=True, timeout=120)
+                try:
+                    import shutil
+                    shutil.copy2(exe, cache_exe)
+                except OSError:
+                    pass
             n = 4_000_000
             rng = np.random.RandomState(1)
             pmf = np.diff(cdf).astype(np.float64)
