@@ -1383,13 +1383,15 @@ def compact_budget_words(num_symbols: int, num_streams: int,
                          scale: int = 1) -> int:
     """Static int32-word budget for compact_streams fetches.
 
-    ~1 byte/symbol (8 bits/symbol — far above any trained operating
-    point of the model zoo; typical latents run 0.1-2 bits/symbol) plus
-    per-stream finalize + word-padding overhead, times ``scale`` (the
-    codecs double scale and re-trace when a pathological payload
-    overflows, so steady state stays compacted at any rate).
+    7 bits/symbol — far above any trained operating point of the model
+    zoo (typical latents run 0.1-2 bits/symbol; even RANDOM-INIT
+    weights measure ~5.4) — plus per-stream finalize + word-padding
+    overhead, times ``scale`` (the codecs double scale and re-trace
+    when a pathological payload overflows, so steady state stays
+    compacted at any rate).
     """
-    byte_budget = scale * int(num_symbols) + 8 * int(num_streams)
+    byte_budget = scale * ((7 * int(num_symbols)) // 8) + 8 * int(
+        num_streams)
     return _round_up(byte_budget, 256) // 4
 
 
