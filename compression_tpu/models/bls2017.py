@@ -11,9 +11,6 @@ https://openreview.net/forum?id=rJxdQ3jeg
 
 from __future__ import annotations
 
-import functools
-from typing import Any
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
