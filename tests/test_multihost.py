@@ -66,6 +66,41 @@ def test_two_process_table_broadcast_and_gather(tmp_path):
     np.testing.assert_array_equal(sym, data["symbols"])
     assert bool(np.all(sanity))
 
+    # Phase 1b: the FLAGSHIP sidecar coder path across processes (the
+    # same traced EM method the native containers dispatch) — gathered
+    # bytes + escape sidecar must byte-match a single-process sidecar
+    # encode with the broadcast tables, and decode back exactly.
+    from compression_tpu.entropy_models import (
+        ContinuousBatchedEntropyModel)
+
+    em = ContinuousBatchedEntropyModel.from_config(dict(
+        coding_rank=3, compression=True, stateless=False,
+        expected_grads=False, tail_mass=2 ** -8,
+        cdf_shapes=(int(data["em_cdf"].shape[0]),
+                    int(data["em_off"].shape[0])),
+        prior_shape=(4,), offset_heuristic=False,
+        quantization_offset=False))
+    em.set_weights([data["em_cdf"], data["em_off"]])
+    rows = data["sidecar_rows"]
+    buf1, len1, ep1, ev1 = em.compress_sidecar(rows)
+    assert (jax_coder.to_bytes_list(
+                np.asarray(buf1).reshape(rows.shape[0], -1),
+                np.asarray(len1).reshape(-1))
+            == jax_coder.to_bytes_list(
+                data["sidecar_buf"], data["sidecar_lens"]))
+    n_elem = int(np.prod(rows.shape[1:]))
+    pos1 = (ep1.reshape(-1, 2)[:, 0] * n_elem
+            + ep1.reshape(-1, 2)[:, 1]).astype(np.int64)
+    np.testing.assert_array_equal(
+        np.sort(pos1), np.sort(data["sidecar_esc_pos"]))
+    out_rows = em.decompress_sidecar(
+        np.asarray(buf1).reshape(rows.shape[0], -1),
+        np.asarray(len1).reshape(-1), rows.shape[1:-1],
+        np.stack(np.divmod(data["sidecar_esc_pos"], n_elem), 1),
+        data["sidecar_esc_val"])
+    np.testing.assert_array_equal(
+        out_rows.reshape(rows.shape), np.asarray(em.quantize(rows)))
+
 
 def test_two_process_training_matches_single_process(tmp_path):
     """DP training across 2 processes (grad all-reduce over the
