@@ -436,6 +436,15 @@ class HiFiCCodec:
             lambda p, s: m.apply(p, s, method=HiFiCModel.scale_indexes))
         self._decode = jax.jit(
             lambda p, y: m.apply(p, y, method=HiFiCModel.decode))
+        self._decode_u8 = jax.jit(
+            lambda p, y: jnp.clip(jnp.round(m.apply(
+                p, y, method=HiFiCModel.decode)), 0, 255).astype(jnp.uint8))
+        # Latent depth from the encoder's output shape (not assumed ==
+        # any config field; same derivation as bmshj2018, ADVICE r4).
+        y_s, _ = jax.eval_shape(
+            lambda p, x: m.apply(p, x, method=HiFiCModel.encode),
+            params, jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32))
+        self.latent_depth = int(y_s.shape[-1])
 
     def _params_for(self, z_hat, y_shape):
         raw_scales, latent_means = self._hyper_decode(self.params, z_hat)
@@ -462,6 +471,8 @@ class HiFiCCodec:
     def decompress(self, container: bytes) -> np.ndarray:
         packed = PackedTensors(container)
         assert packed.model == self.MODEL_ID
+        if packed.num_tensors == 9:  # native multi-stream container
+            return self._decompress_native(packed)
         y_strings, z_strings, x_shape, y_shape, z_shape = packed.unpack(
             ["bytes", "bytes", np.int32, np.int32, np.int32])
         z_hat = self.em_z.decompress(z_strings, tuple(z_shape))
@@ -470,6 +481,308 @@ class HiFiCCodec:
         x_hat = self._decode(self.params, y_hat)
         x_hat = np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
         return np.clip(np.round(x_hat), 0, 255).astype(np.uint8)
+
+    def reconstruct(self, x) -> np.ndarray:
+        """Eval-mode reconstruction WITHOUT the range coder: quantized
+        hyper-latent drives the conditioning exactly as the decoder
+        does; decompress(compress_native(x)) must equal this exactly."""
+        x = jnp.asarray(x)[None]
+        y, z = self._encode(self.params, x)
+        z_hat = self.em_z.quantize(z)
+        _, means = self._params_for(
+            z_hat, tuple(int(s) for s in y.shape[1:-1]))
+        y_hat = self.em_y.quantize(y, means)
+        x_hat = self._decode_u8(self.params, y_hat)
+        return np.asarray(x_hat)[0, : x.shape[1], : x.shape[2], :]
+
+    def compress_native(self, x) -> bytes:
+        """TPU-native container (multi-stream + escape sidecar), same
+        chained-dispatch design as the other families: every float
+        transform runs in the SAME shared jits as reconstruct(), coding
+        jits touch floats only via IEEE-exact sub/round, all container
+        fields ride ONE compacted int32 fetch."""
+        import os
+
+        if os.environ.get("CTPU_FUSED_NATIVE", "1") == "0":
+            return self._compress_native_host(x)
+        flat_dev, meta = self._native_submit(x)
+        return self._native_finalize(np.asarray(flat_dev), meta, x)
+
+    def compress_native_many(self, images) -> list:
+        import os
+
+        if os.environ.get("CTPU_FUSED_NATIVE", "1") == "0":
+            return [self._compress_native_host(x) for x in images]
+        submitted = [self._native_submit(x) for x in images]
+        flats = jax.device_get([s[0] for s in submitted])
+        return [self._native_finalize(f, s[1], x)
+                for (f, s), x in zip(zip(flats, submitted), images)]
+
+    def _native_submit(self, x):
+        from compression_tpu.codec import jax_coder
+        from compression_tpu.models import native_format
+        from compression_tpu.util import transfer as tr
+
+        x = jnp.asarray(x)[None]
+        y, z = self._encode(self.params, x)
+        z_hat = self.em_z.quantize(z)
+        indexes, means = self._params_for(
+            z_hat, tuple(int(s) for s in y.shape[1:-1]))
+
+        if not hasattr(self, "_native_encoders"):
+            self._native_encoders = {}
+        cached = self._native_encoders.get((y.shape, z.shape))
+        if cached is None:
+            scale = getattr(self, "_compact_scale", 1)
+
+            def geom(shape):
+                _, h, w, c = (int(s) for s in shape)
+                k = native_format.split_factor(w, c)
+                s_streams, n = h * k, (w // k) * c
+                budget = jax_coder.sidecar_budget(s_streams * n)
+                bw = jax_coder.compact_budget_words(
+                    s_streams * n, s_streams, scale)
+                fb = min(budget,
+                         scale * max(1024, s_streams * n // 128))
+                spec = [((bw,), "i32"), ((s_streams,), "i32"),
+                        ((fb,), "i32"), ((fb,), "i32"),
+                        ((), "i32"), ((), "bool"), ((), "bool")]
+                return (h, w, c), n, (s_streams, budget, bw, fb), spec
+
+            gy, n_y, (sy, budget_y, bw_y, fb_y), spec_y = geom(y.shape)
+            gz, n_z, (sz, budget_z, bw_z, fb_z), spec_z = geom(z.shape)
+
+            def compacted(out, s_streams, bw, fb):
+                buf, lens, ei, ev, cnt, ok = out
+                words, cok = jax_coder.compact_streams(
+                    buf.reshape(s_streams, -1), lens.reshape(-1), bw)
+                return [words, lens.reshape(-1), ei[:fb], ev[:fb], cnt,
+                        ok, cok & (cnt <= fb)]
+
+            def encode_coding(yy, idx, mm, zz):
+                y_out = compacted(self.em_y.compress_sidecar_device(
+                    native_format.to_streams(yy),
+                    native_format.to_streams(idx),
+                    loc=native_format.to_streams(mm),
+                    escape_budget=budget_y), sy, bw_y, fb_y)
+                z_out = compacted(self.em_z.compress_sidecar_device(
+                    native_format.to_streams(zz),
+                    escape_budget=budget_z), sz, bw_z, fb_z)
+                return tr.pack_jit(y_out + z_out)
+
+            cached = (jax.jit(encode_coding), spec_y + spec_z,
+                      gy, n_y, gz, n_z)
+            self._native_encoders[(y.shape, z.shape)] = cached
+        fn, spec, gy, n_y, gz, n_z = cached
+        return (fn(y, indexes, means, z),
+                (spec, gy, n_y, gz, n_z,
+                 tuple(int(s) for s in x.shape[1:-1])))
+
+    def _native_finalize(self, flat, meta, x) -> bytes:
+        from compression_tpu.codec import jax_coder
+        from compression_tpu.models import native_format
+        from compression_tpu.util import transfer as tr
+
+        spec, (hy, wy, cy), n_y, (hz, wz, cz), n_z, x_hw = meta
+        (y_words, y_len, y_ei, y_ev, y_cnt, y_ok, y_cok,
+         z_words, z_len, z_ei, z_ev, z_cnt, z_ok, z_cok) = tr.unpack_host(
+            flat, spec)
+        if not (bool(y_ok) and bool(z_ok)):
+            import warnings
+            warnings.warn(
+                "compress_native escape budget exceeded; falling back to "
+                "the host sidecar path for this image.",
+                RuntimeWarning, stacklevel=2)
+            return self._compress_native_host(x)
+        if not (bool(y_cok) and bool(z_cok)):
+            import warnings
+            warnings.warn(
+                "compress_native compact fetch budget exceeded; doubling "
+                "the budget (re-traces on the next call) and falling back "
+                "to the host sidecar path for this image.",
+                RuntimeWarning, stacklevel=2)
+            self._compact_scale = 2 * getattr(self, "_compact_scale", 1)
+            self._native_encoders = {}
+            return self._compress_native_host(x)
+        y_pairs, y_vals = native_format.esc_to_pairs(y_ei, y_ev, y_cnt, n_y)
+        z_pairs, z_vals = native_format.esc_to_pairs(z_ei, z_ev, z_cnt, n_z)
+        packed = PackedTensors()
+        packed.model = self.MODEL_ID
+        packed.pack([
+            jax_coder.compact_to_bytes_list(y_words, y_len),
+            jax_coder.compact_to_bytes_list(z_words, z_len),
+            np.asarray(x_hw, np.int32),
+            np.asarray((hy, wy), np.int32),
+            np.asarray((hz, wz), np.int32),
+            y_pairs.ravel(), y_vals, z_pairs.ravel(), z_vals,
+        ])
+        return packed.string
+
+    def _compress_native_host(self, x) -> bytes:
+        from compression_tpu.codec import jax_coder
+        from compression_tpu.models import native_format
+
+        x = jnp.asarray(x)
+        if x.ndim == 3:
+            x = x[None]
+        y, z = self._encode(self.params, x)
+        z_hat = self.em_z.quantize(z)
+        indexes, means = self._params_for(
+            z_hat, tuple(int(s) for s in y.shape[1:-1]))
+        z_rows = native_format.to_streams(z)
+        z_buf, z_len, z_ep, z_ev = self.em_z.compress_sidecar(z_rows)
+        y_buf, y_len, y_ep, y_ev = self.em_y.compress_sidecar(
+            native_format.to_streams(y), native_format.to_streams(indexes),
+            loc=native_format.to_streams(means))
+        packed = PackedTensors()
+        packed.model = self.MODEL_ID
+        packed.pack([
+            jax_coder.to_bytes_list(y_buf, y_len),
+            jax_coder.to_bytes_list(z_buf, z_len),
+            np.asarray(x.shape[1:-1], np.int32),
+            np.asarray(y.shape[1:-1], np.int32),
+            np.asarray(z.shape[1:-1], np.int32),
+            y_ep.ravel().astype(np.int32), y_ev.astype(np.int32),
+            z_ep.ravel().astype(np.int32), z_ev.astype(np.int32),
+        ])
+        return packed.string
+
+    def _decompress_native(self, packed) -> np.ndarray:
+        import os
+
+        from compression_tpu.models import native_format
+
+        if os.environ.get("CTPU_FUSED_NATIVE", "1") == "0":
+            return self._decompress_native_host(packed)
+        x_hat, z_san, y_san, x_hw = self._native_dec_submit(packed)
+        x_hat, z_san, y_san = jax.device_get((x_hat, z_san, y_san))
+        if self.em_y.decode_sanity_check and not (
+                z_san.all() and y_san.all()):
+            raise ValueError("Sanity check failed (corrupt bit streams).")
+        return x_hat[0, : x_hw[0], : x_hw[1], :]
+
+    def decompress_native_many(self, containers) -> list:
+        import os
+
+        if os.environ.get("CTPU_FUSED_NATIVE", "1") == "0":
+            return [self.decompress(c) for c in containers]
+        submitted = []
+        for c in containers:
+            packed = PackedTensors(c)
+            assert packed.model == self.MODEL_ID
+            if packed.num_tensors != 9:  # classic container: no pipeline
+                submitted.append((None, None, None, c))
+                continue
+            submitted.append(self._native_dec_submit(packed))
+        fetched = jax.device_get(
+            [(s[0], s[1], s[2]) for s in submitted if s[0] is not None])
+        outs, it = [], iter(fetched)
+        for s in submitted:
+            if s[0] is None:
+                outs.append(self.decompress(s[3]))
+                continue
+            x_hat, z_san, y_san = next(it)
+            if self.em_y.decode_sanity_check and not (
+                    z_san.all() and y_san.all()):
+                raise ValueError(
+                    "Sanity check failed (corrupt bit streams).")
+            outs.append(x_hat[0, : s[3][0], : s[3][1], :])
+        return outs
+
+    def _native_dec_submit(self, packed):
+        from compression_tpu.codec import jax_coder
+        from compression_tpu.models import native_format
+        from compression_tpu.util import transfer as tr
+
+        (strings, side_strings, x_shape, y_shape, z_shape, y_ep, y_ev,
+         z_ep, z_ev) = packed.unpack(
+            ["bytes", "bytes", np.int32, np.int32, np.int32,
+             np.int32, np.int32, np.int32, np.int32])
+        hy, wy = int(y_shape[0]), int(y_shape[1])
+        hz, wz = int(z_shape[0]), int(z_shape[1])
+        cz = int(np.prod(self.em_z.prior_shape))
+        k_z = native_format.split_factor_from_streams(
+            len(side_strings), hz)
+        k_y = native_format.split_factor_from_streams(len(strings), hy)
+        z_buf, z_len = jax_coder.from_bytes_list(side_strings)
+        y_buf, y_len = jax_coder.from_bytes_list(strings)
+        # Raw-byte uploads, chunk-packed on device (tunnel bandwidth).
+        if z_buf.shape[1] % 2:
+            z_buf = np.pad(z_buf, ((0, 0), (0, 1)))
+        if y_buf.shape[1] % 2:
+            y_buf = np.pad(y_buf, ((0, 0), (0, 1)))
+        n_z = (wz // k_z) * cz
+        z_ei, z_evp = jax_coder.sidecar_pad(
+            z_ep.reshape(-1, 2), z_ev, n_z, len(side_strings) * n_z)
+        cy = self.latent_depth
+        n_y = (wy // k_y) * cy
+        y_ei, y_evp = jax_coder.sidecar_pad(
+            y_ep.reshape(-1, 2), y_ev, n_y, len(strings) * n_y)
+        in_arrays = [z_buf, z_len.astype(np.int32), z_ei, z_evp,
+                     y_buf, y_len.astype(np.int32), y_ei, y_evp]
+        in_spec = tr.pack_spec(in_arrays)
+        if not hasattr(self, "_native_decoders"):
+            self._native_decoders = {}
+        key = (hy, wy, hz, wz, k_y, k_z, y_buf.shape[1], z_buf.shape[1],
+               y_ei.shape[0], z_ei.shape[0])
+        fns = self._native_decoders.get(key)
+        if fns is None:
+            def decode_z(flat):
+                (z_bb, z_lnd, z_eid, z_evd, y_bb, y_lnd, y_eid,
+                 y_evd) = tr.unpack_jit(flat, in_spec)
+                z16d = jax_coder.chunks_from_bytes_jit(z_bb)
+                z_rows, z_san = self.em_z.decompress_sidecar_device(
+                    z16d, z_lnd, (1, wz // k_z), z_eid, z_evd)
+                z_hat = native_format.from_streams(z_rows, hz, wz, cz)
+                return z_hat, z_san, y_bb, y_lnd, y_eid, y_evd
+
+            def decode_y(idx, mm, y_bb, y_lnd, y_eid, y_evd):
+                i_rows = idx[0].reshape(hy * k_y, 1, wy // k_y, cy)
+                m_rows = mm[0].reshape(hy * k_y, 1, wy // k_y, cy)
+                y_rows, y_san = self.em_y.decompress_sidecar_device(
+                    jax_coder.chunks_from_bytes_jit(y_bb), y_lnd,
+                    i_rows, y_eid, y_evd, loc=m_rows)
+                return y_rows.reshape(1, hy, wy, cy), y_san
+
+            fns = (jax.jit(decode_z), jax.jit(decode_y))
+            self._native_decoders[key] = fns
+        dec_z, dec_y = fns
+        z_hat, z_san, y_bb, y_lnd, y_eid, y_evd = dec_z(
+            jnp.asarray(tr.pack_host(in_arrays)))
+        indexes, means = self._params_for(z_hat, (hy, wy))
+        y_hat, y_san = dec_y(indexes, means, y_bb, y_lnd, y_eid, y_evd)
+        return (self._decode_u8(self.params, y_hat), z_san, y_san,
+                (int(x_shape[0]), int(x_shape[1])))
+
+    def _decompress_native_host(self, packed) -> np.ndarray:
+        from compression_tpu.codec import jax_coder
+        from compression_tpu.models import native_format
+
+        (strings, side_strings, x_shape, y_shape, z_shape, y_ep, y_ev,
+         z_ep, z_ev) = packed.unpack(
+            ["bytes", "bytes", np.int32, np.int32, np.int32,
+             np.int32, np.int32, np.int32, np.int32])
+        hy, wy = int(y_shape[0]), int(y_shape[1])
+        hz, wz = int(z_shape[0]), int(z_shape[1])
+        cz = int(np.prod(self.em_z.prior_shape))
+        k_z = native_format.split_factor_from_streams(
+            len(side_strings), hz)
+        k_y = native_format.split_factor_from_streams(len(strings), hy)
+        z_buf, z_len = jax_coder.from_bytes_list(side_strings)
+        y_buf, y_len = jax_coder.from_bytes_list(strings)
+        z_rows = self.em_z.decompress_sidecar(
+            z_buf, z_len, native_format.stream_broadcast_shape_k(wz, k_z),
+            z_ep.reshape(-1, 2), z_ev)
+        z_hat = native_format.from_streams(z_rows, hz, wz, cz)
+        indexes, means = self._params_for(z_hat, (hy, wy))
+        cy = int(indexes.shape[-1])
+        y_rows = self.em_y.decompress_sidecar(
+            y_buf, y_len, native_format.to_streams(indexes),
+            y_ep.reshape(-1, 2), y_ev,
+            loc=native_format.to_streams(means))
+        y_hat = native_format.from_streams(y_rows, hy, wy, cy)
+        x_hat = self._decode_u8(self.params, y_hat)
+        return np.asarray(x_hat)[0, : x_shape[0], : x_shape[1], :]
 
 
 def train(config: HiFiCConfig = HiFiCConfig(), steps=1000, batch_size=2,

@@ -52,6 +52,13 @@ def _build(family):
         model = bmshj2018.BMSHJ2018Model(lmbda=0.01, num_filters=16)
         params = model.init(key, dummy, training=False)
         return bmshj2018.BMSHJ2018Codec(model, params)
+    if family == "hific":
+        from compression_tpu.models import hific
+        model = hific.HiFiCModel(cfg=hific.HiFiCConfig(
+            num_down=2, num_filters_base=8, num_filters_bottleneck=12,
+            num_residual_blocks=1, hyper_filters=12))
+        params = model.init(key, dummy, training=False)
+        return hific.HiFiCCodec(model, params)
     model = ms2020.MS2020Model(
         lmbda=0.01, num_filters=16, latent_depth=20, hyperprior_depth=8,
         num_slices=5, max_support_slices=3, ha_widths=(20, 16),
@@ -60,7 +67,8 @@ def _build(family):
     return ms2020.MS2020Codec(model, params)
 
 
-@pytest.mark.parametrize("family", ["bls2017", "bmshj2018", "ms2020"])
+@pytest.mark.parametrize("family", ["bls2017", "bmshj2018", "ms2020",
+                                    "hific"])
 def test_fused_container_matches_host_path(family):
     codec = _build(family)
     x8 = _image()
@@ -71,7 +79,8 @@ def test_fused_container_matches_host_path(family):
     assert fused == host
 
 
-@pytest.mark.parametrize("family", ["bls2017", "bmshj2018", "ms2020"])
+@pytest.mark.parametrize("family", ["bls2017", "bmshj2018", "ms2020",
+                                    "hific"])
 def test_fused_roundtrip_equals_reconstruct(family):
     codec = _build(family)
     x8 = _image(seed=11)
@@ -127,7 +136,8 @@ def _force_outliers(codec, family):
         codec._encode = patched
 
 
-@pytest.mark.parametrize("family", ["bls2017", "bmshj2018", "ms2020"])
+@pytest.mark.parametrize("family", ["bls2017", "bmshj2018", "ms2020",
+                                    "hific"])
 def test_escape_budget_fallback_warns_and_roundtrips(family, monkeypatch):
     codec = _build(family)
     x8 = _image(seed=5)
@@ -173,7 +183,7 @@ def test_transfer_pack_roundtrips():
         assert np.array_equal(o, a)
 
 
-@pytest.mark.parametrize("family", ["bls2017", "ms2020"])
+@pytest.mark.parametrize("family", ["bls2017", "ms2020", "hific"])
 def test_throughput_mode_matches_per_image_calls(family):
     """compress_native_many / decompress_native_many == per-image calls,
     including a classic container mixed into the decode batch."""
