@@ -152,6 +152,14 @@ def _build(name, size):
         from compression_tpu.models import ms2020 as m
         model = m.MS2020Model(lmbda=0.01)  # paper scale by default
         codec_cls = m.MS2020Codec
+    elif name == "hific":
+        # Opt-in (pass models=("hific",...)): no reference-stack baseline
+        # exists for it on this host (the reference HiFiC is TF1/
+        # compare_gan and runs only via downloaded pretrained graphs), so
+        # its rows carry no speedup_vs_reference.
+        from compression_tpu.models import hific as m
+        model = m.HiFiCModel()  # paper-scale generator/hyperprior
+        codec_cls = m.HiFiCCodec
     else:
         raise ValueError(name)
     # Init at a small spatial size: conv/GDN/prior params are input-size
