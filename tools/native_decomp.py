@@ -121,22 +121,23 @@ def decompose(name, size=512):
         ns = codec.model.num_slices
         y_slice = jnp.split(y, ns, axis=-1)[0]
 
-        enc_z_ms = devms(lambda k: kloop(
-            lambda zz: enc_z(zz), lambda o: o[1].reshape(-1)[:1])(
-                (z,), k))
+        run_ez = kloop(lambda zz: enc_z(zz),
+                       lambda o: o[1].reshape(-1)[:1])
+        enc_z_ms = devms(lambda k: run_ez((z,), k))
         # All slices code in ONE wide call since round 4 (replicating
         # slice-0's conditioning is timing-equivalent: same geometry).
-        enc_s_ms = devms(lambda k: kloop(
-            lambda yy, ss, mm: enc_slice(
-                [yy] * ns, [ss] * ns, [mm] * ns),
-            lambda o: o[1].reshape(-1)[:1])((y_slice, sigma, mu), k))
+        run_es = kloop(lambda yy, ss, mm: enc_slice(
+            [yy] * ns, [ss] * ns, [mm] * ns),
+            lambda o: o[1].reshape(-1)[:1])
+        enc_s_ms = devms(lambda k: run_es((y_slice, sigma, mu), k))
         out["coder_encode_device_ms"] = round(enc_z_ms + enc_s_ms, 3)
         # Conditioning: one slice_params + lrp pass x num_slices.
-        cond_ms = devms(lambda k: kloop(
+        run_cond = kloop(
             lambda lmm, lss: codec.model.apply(
                 codec.params, 0, lmm, lss, (), y_shape,
                 method=type(codec.model).slice_params)[0],
-            lambda o: o.reshape(-1)[:1])((lm, ls), k))
+            lambda o: o.reshape(-1)[:1])
+        cond_ms = devms(lambda k: run_cond((lm, ls), k))
         out["conditioning_per_slice_ms"] = cond_ms
         out["conditioning_device_ms"] = round(2 * ns * cond_ms, 3)
         n_symbols = (int(np.prod(z.shape)) + int(np.prod(y.shape)))
@@ -145,8 +146,9 @@ def decompose(name, size=512):
         if name == "bls2017":
             y = codec._analysis(codec.params, x)
             fn, spec, (h, w, c), n = codec._native_encoders[y.shape]
-            enc_ms = devms(lambda k: kloop(
-                lambda yy: fn(yy), lambda o: o.reshape(-1)[:1])((y,), k))
+            run_e = kloop(lambda yy: fn(yy),
+                          lambda o: o.reshape(-1)[:1])
+            enc_ms = devms(lambda k: run_e((y,), k))
             n_symbols = int(np.prod(y.shape))
         else:
             y, z = codec._encode(codec.params, x)
@@ -154,9 +156,9 @@ def decompose(name, size=512):
             idx = codec._hyper_decode(codec.params, z_hat)
             idx = idx[:, : y.shape[1], : y.shape[2], :]
             fn = codec._native_encoders[(y.shape, z.shape)][0]
-            enc_ms = devms(lambda k: kloop(
-                lambda yy, ii, zz: fn(yy, ii, zz),
-                lambda o: o.reshape(-1)[:1])((y, idx, z), k))
+            run_e = kloop(lambda yy, ii, zz: fn(yy, ii, zz),
+                          lambda o: o.reshape(-1)[:1])
+            enc_ms = devms(lambda k: run_e((y, idx, z), k))
             n_symbols = int(np.prod(y.shape)) + int(np.prod(z.shape))
         out["coder_encode_device_ms"] = enc_ms
         coder_ms = enc_ms
