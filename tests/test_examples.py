@@ -31,3 +31,14 @@ def test_texture_source_is_low_frequency():
     global_spread = img.std()
     # (white noise measures ~1.15x; the 1/f field ~0.34x)
     assert local < 0.5 * global_spread
+
+
+def test_train_bench_jax_side_runs():
+    # The TPU-side timer of tools/train_bench.py on a tiny geometry:
+    # real jitted train steps, device-resident batches, sane fields.
+    from tools import train_bench
+    row = train_bench._bench_jax_family("bls2017", patch=32, batch=1,
+                                        steps=2)
+    assert row["step_ms"] > 0
+    assert row["images_per_s"] > 0
+    assert row["steps_timed"] == 2
