@@ -124,6 +124,88 @@ def _bench_jax_family(family, patch, batch, steps, seed=0):
     return out
 
 
+def _bench_jax_hific(patch, batch, steps, seed=0):
+    """One full GAN training iteration (1 generator + 1 discriminator
+    step, reference models/hific/train.py num_steps_disc=1) at the
+    paper 'hific' config.  TPU-only row: the reference HiFiC trains on
+    TF1/compare_gan, which does not run on this install."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from compression_tpu.models import hific
+
+    model = hific.HiFiCModel(cfg=hific.HiFiCConfig())
+    disc = hific.Discriminator()
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+    dummy = jnp.zeros((1, patch, patch, 3))
+    t0 = time.time()
+    params = model.init(init_key, dummy, training=False)
+    _, y_hat0, _, _ = model.apply(
+        params, dummy, training=True, key=jax.random.PRNGKey(1))
+    d_vars = disc.init(jax.random.PRNGKey(2), dummy / 255.0, y_hat0,
+                       update_stats=False)
+    jax.block_until_ready(d_vars)
+    init_s = time.time() - t0
+    d_params = d_vars["params"]
+    d_state = {k: v for k, v in d_vars.items() if k != "params"}
+    g_opt = optax.adam(1e-4)
+    d_opt = optax.adam(1e-4)
+    g_state = g_opt.init(params)
+    d_opt_state = d_opt.init(d_params)
+    g_step, d_step = hific.make_train_steps(model, disc, g_opt, d_opt)
+
+    rng = np.random.RandomState(seed)
+    batches = [
+        jax.device_put(rng.uniform(0, 255, (batch, patch, patch, 3))
+                       .astype(np.float32))
+        for _ in range(4)
+    ]
+    keys = jax.random.split(key, 2 * (steps + 4))
+
+    def one_iter(params, g_state, d_params, d_state, d_opt_state, x,
+                 kg, kd, step):
+        d_vars = {"params": d_params, **d_state}
+        params, g_state, gm = g_step(params, g_state, d_vars, x, kg,
+                                     step)
+        d_params, d_state, d_opt_state, dm = d_step(
+            d_params, d_state, d_opt_state, params, x, kd)
+        return params, g_state, d_params, d_state, d_opt_state, gm, dm
+
+    t0 = time.time()
+    state = one_iter(params, g_state, d_params, d_state, d_opt_state,
+                     batches[0], keys[0], keys[1], 0)
+    jax.block_until_ready(state[-1]["d_loss"])
+    compile_s = time.time() - t0
+    params, g_state, d_params, d_state, d_opt_state = state[:5]
+
+    state = one_iter(params, g_state, d_params, d_state, d_opt_state,
+                     batches[1], keys[2], keys[3], 1)
+    jax.block_until_ready(state[-1]["d_loss"])
+    params, g_state, d_params, d_state, d_opt_state = state[:5]
+
+    t0 = time.time()
+    for i in range(steps):
+        state = one_iter(params, g_state, d_params, d_state,
+                         d_opt_state, batches[i % 4], keys[4 + 2 * i],
+                         keys[5 + 2 * i], i + 2)
+        params, g_state, d_params, d_state, d_opt_state = state[:5]
+    jax.block_until_ready(state[-1]["d_loss"])
+    wall = time.time() - t0
+    step_ms = wall / steps * 1e3
+    return {
+        "config": "paper 'hific' config, GAN + LPIPS, G+D per iteration",
+        "patch": patch,
+        "batch": batch,
+        "steps_timed": steps,
+        "step_ms": round(step_ms, 2),
+        "images_per_s": round(batch / (step_ms / 1e3), 1),
+        "init_s": round(init_s, 1),
+        "first_step_compile_s": round(compile_s, 1),
+    }
+
+
 def _bench_ref_family(family, patch, batch, steps, seed=0):
     """Eager reference-stack train step on this host's CPU, same
     architecture/widths as the repo model defaults."""
@@ -381,7 +463,7 @@ def _bench_ref_family(family, patch, batch, steps, seed=0):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--families", default="bls2017,bmshj2018,ms2020")
+    p.add_argument("--families", default="bls2017,bmshj2018,ms2020,hific")
     p.add_argument("--patch", type=int, default=256)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--steps", type=int, default=30)
@@ -412,9 +494,16 @@ def main():
         row = {}
         if args.tpu:
             print(f"=== {family}: TPU train step ===", flush=True)
-            row["tpu"] = _bench_jax_family(
-                family, args.patch, args.batch, args.steps)
+            bench_fn = (_bench_jax_hific if family == "hific"
+                        else lambda p, b, s: _bench_jax_family(
+                            family, p, b, s))
+            row["tpu"] = bench_fn(args.patch, args.batch, args.steps)
             print(f"  tpu: {row['tpu']}", flush=True)
+        if family == "hific":
+            # No reference denominator: the reference HiFiC trains on
+            # TF1/compare_gan, which does not run on this install.
+            results[family] = row
+            continue
         if args.ref:
             print(f"=== {family}: reference train step ===", flush=True)
             try:
