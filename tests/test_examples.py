@@ -38,7 +38,7 @@ def test_train_bench_jax_side_runs():
     # real jitted train steps, device-resident batches, sane fields.
     from tools import train_bench
     row = train_bench._bench_jax_family("bls2017", patch=32, batch=1,
-                                        steps=2)
+                                        repeats=2)
     assert row["step_ms"] > 0
     assert row["images_per_s"] > 0
-    assert row["steps_timed"] == 2
+    assert row["repeats"] == 2

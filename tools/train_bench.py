@@ -21,7 +21,7 @@ the denominator is "the reference stack on this host", labeled as such.
 
 Usage:
   python tools/train_bench.py [--families bls2017,bmshj2018,ms2020]
-      [--patch 256] [--batch 8] [--steps 30] [--ref 1] [--ref_steps 3]
+      [--patch 256] [--batch 8] [--repeats 5] [--ref 1] [--ref_steps 3]
       [--out docs/train_bench.json]
 """
 
@@ -41,7 +41,49 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def _bench_jax_family(family, patch, batch, steps, seed=0):
+def _time_train_k(step_body, params, opt_state, batch, base_key,
+                  k_lo=1, k_hi=5, repeats=5):
+    """Device-side train-step time via the repo's k-loop methodology
+    (bench.py:113-160): k chained steps inside ONE jitted fori_loop,
+    a scalar fetch forcing the round trip, two k values differenced.
+    Host wall-clock around individual dispatches is meaningless through
+    the remote-TPU tunnel (lazy dispatch; block_until_ready returning
+    early has been observed).  The train chain needs no extra no-op
+    dependency: step i+1's params consume step i's output, so nothing
+    can be hoisted or dead-code-eliminated while the final loss (a
+    function of the final params) is returned."""
+    import functools
+
+    import jax
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def train_k(params, opt_state, batch, k):
+        def body(i, carry):
+            params, opt_state, _ = carry
+            key = jax.random.fold_in(base_key, i)
+            params, opt_state, m = step_body(params, opt_state, batch,
+                                             key)
+            return params, opt_state, m["loss"]
+
+        return jax.lax.fori_loop(
+            0, k, body, (params, opt_state, 0.0))[2]
+
+    def fetch(k):
+        t0 = time.perf_counter()
+        np.asarray(train_k(params, opt_state, batch, k))
+        return time.perf_counter() - t0
+
+    t0 = time.time()
+    fetch(k_hi)  # compile both k variants
+    compile_s = time.time() - t0
+    fetch(k_lo)
+    times = [(fetch(k_hi) - fetch(k_lo)) / (k_hi - k_lo)
+             for _ in range(repeats)]
+    return (float(np.median(times)), float(np.min(times)),
+            float(np.max(times)), compile_s)
+
+
+def _bench_jax_family(family, patch, batch, repeats, seed=0):
     import jax
     import jax.numpy as jnp
     import optax
@@ -60,46 +102,29 @@ def _bench_jax_family(family, patch, batch, steps, seed=0):
 
     model = Model()
     key = jax.random.PRNGKey(seed)
-    key, init_key = jax.random.split(key)
+    key, init_key, time_key = jax.random.split(key, 3)
     t0 = time.time()
     params = jax.jit(model.init, static_argnames=("training",))(
         init_key, jnp.zeros((1, patch, patch, 3)), training=False)
-    jax.block_until_ready(params)
+    np.asarray(jax.tree.leaves(params)[0])  # force
     init_s = time.time() - t0
     optimizer = optax.adam(1e-4)
     opt_state = optimizer.init(params)
     step_fn = make_train_step(model, optimizer)
 
-    # Device-resident batches: uploaded once, cycled.  Natural-image-
-    # statistics textures (not that the timing cares).
+    # One device-resident batch (input pipeline excluded).  Constant
+    # across steps — the chain stays live because params evolve.
     rng = np.random.RandomState(seed)
-    batches = [
-        jax.device_put(rng.uniform(0, 255, (batch, patch, patch, 3))
-                       .astype(np.float32))
-        for _ in range(4)
-    ]
-    keys = jax.random.split(key, steps + 4)
+    batch_d = jax.device_put(
+        rng.uniform(0, 255, (batch, patch, patch, 3)).astype(np.float32))
 
-    t0 = time.time()
-    params, opt_state, m = step_fn(params, opt_state, batches[0], keys[0])
-    jax.block_until_ready(m["loss"])
-    compile_s = time.time() - t0
-
-    # One more to confirm no recompile, then the timed chain.
-    params, opt_state, m = step_fn(params, opt_state, batches[1], keys[1])
-    jax.block_until_ready(m["loss"])
-
-    t0 = time.time()
-    for i in range(steps):
-        params, opt_state, m = step_fn(
-            params, opt_state, batches[i % 4], keys[i + 2])
-    jax.block_until_ready(m["loss"])
-    wall = time.time() - t0
-    step_ms = wall / steps * 1e3
+    med, lo, hi, compile_s = _time_train_k(
+        step_fn, params, opt_state, batch_d, time_key, repeats=repeats)
+    step_ms = med * 1e3
 
     flops = None
     try:
-        lowered = step_fn.lower(params, opt_state, batches[0], keys[0])
+        lowered = step_fn.lower(params, opt_state, batch_d, time_key)
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
@@ -111,11 +136,14 @@ def _bench_jax_family(family, patch, batch, steps, seed=0):
         "config": "model defaults (paper scale)",
         "patch": patch,
         "batch": batch,
-        "steps_timed": steps,
+        "timing": "device-side k-loop (bench.py methodology)",
+        "repeats": repeats,
         "step_ms": round(step_ms, 2),
+        "step_ms_min": round(lo * 1e3, 2),
+        "step_ms_max": round(hi * 1e3, 2),
         "images_per_s": round(batch / (step_ms / 1e3), 1),
         "init_s": round(init_s, 1),
-        "first_step_compile_s": round(compile_s, 1),
+        "k_loop_compile_s": round(compile_s, 1),
     }
     if flops:
         out["xla_flops_per_step"] = flops
@@ -124,7 +152,7 @@ def _bench_jax_family(family, patch, batch, steps, seed=0):
     return out
 
 
-def _bench_jax_hific(patch, batch, steps, seed=0):
+def _bench_jax_hific(patch, batch, repeats, seed=0):
     """One full GAN training iteration (1 generator + 1 discriminator
     step, reference models/hific/train.py num_steps_disc=1) at the
     paper 'hific' config.  TPU-only row: the reference HiFiC trains on
@@ -146,7 +174,7 @@ def _bench_jax_hific(patch, batch, steps, seed=0):
         params, dummy, training=True, key=jax.random.PRNGKey(1))
     d_vars = disc.init(jax.random.PRNGKey(2), dummy / 255.0, y_hat0,
                        update_stats=False)
-    jax.block_until_ready(d_vars)
+    np.asarray(jax.tree.leaves(d_vars)[0])  # force
     init_s = time.time() - t0
     d_params = d_vars["params"]
     d_state = {k: v for k, v in d_vars.items() if k != "params"}
@@ -157,52 +185,58 @@ def _bench_jax_hific(patch, batch, steps, seed=0):
     g_step, d_step = hific.make_train_steps(model, disc, g_opt, d_opt)
 
     rng = np.random.RandomState(seed)
-    batches = [
-        jax.device_put(rng.uniform(0, 255, (batch, patch, patch, 3))
-                       .astype(np.float32))
-        for _ in range(4)
-    ]
-    keys = jax.random.split(key, 2 * (steps + 4))
+    batch_d = jax.device_put(
+        rng.uniform(0, 255, (batch, patch, patch, 3)).astype(np.float32))
+    key, time_key = jax.random.split(key)
 
-    def one_iter(params, g_state, d_params, d_state, d_opt_state, x,
-                 kg, kd, step):
-        d_vars = {"params": d_params, **d_state}
-        params, g_state, gm = g_step(params, g_state, d_vars, x, kg,
-                                     step)
-        d_params, d_state, d_opt_state, dm = d_step(
-            d_params, d_state, d_opt_state, params, x, kd)
-        return params, g_state, d_params, d_state, d_opt_state, gm, dm
+    # Same k-loop methodology as _time_train_k, with the G+D carry.
+    import functools
 
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def train_k(params, g_state, d_params, d_state, d_opt_state, k):
+        def body(i, carry):
+            params, g_state, d_params, d_state, d_opt_state, _ = carry
+            kg = jax.random.fold_in(time_key, 2 * i)
+            kd = jax.random.fold_in(time_key, 2 * i + 1)
+            d_vars = {"params": d_params, **d_state}
+            params, g_state, gm = g_step(
+                params, g_state, d_vars, batch_d, kg, i)
+            d_params, d_state, d_opt_state, dm = d_step(
+                d_params, d_state, d_opt_state, params, batch_d, kd)
+            return (params, g_state, d_params, d_state, d_opt_state,
+                    gm["g_loss"] + dm["d_loss"])
+
+        return jax.lax.fori_loop(
+            0, k, body,
+            (params, g_state, d_params, d_state, d_opt_state, 0.0))[5]
+
+    def fetch(k):
+        t0 = time.perf_counter()
+        np.asarray(train_k(params, g_state, d_params, d_state,
+                           d_opt_state, k))
+        return time.perf_counter() - t0
+
+    k_lo, k_hi = 1, 5
     t0 = time.time()
-    state = one_iter(params, g_state, d_params, d_state, d_opt_state,
-                     batches[0], keys[0], keys[1], 0)
-    jax.block_until_ready(state[-1]["d_loss"])
+    fetch(k_hi)
     compile_s = time.time() - t0
-    params, g_state, d_params, d_state, d_opt_state = state[:5]
-
-    state = one_iter(params, g_state, d_params, d_state, d_opt_state,
-                     batches[1], keys[2], keys[3], 1)
-    jax.block_until_ready(state[-1]["d_loss"])
-    params, g_state, d_params, d_state, d_opt_state = state[:5]
-
-    t0 = time.time()
-    for i in range(steps):
-        state = one_iter(params, g_state, d_params, d_state,
-                         d_opt_state, batches[i % 4], keys[4 + 2 * i],
-                         keys[5 + 2 * i], i + 2)
-        params, g_state, d_params, d_state, d_opt_state = state[:5]
-    jax.block_until_ready(state[-1]["d_loss"])
-    wall = time.time() - t0
-    step_ms = wall / steps * 1e3
+    fetch(k_lo)
+    times = [(fetch(k_hi) - fetch(k_lo)) / (k_hi - k_lo)
+             for _ in range(repeats)]
+    med = float(np.median(times))
+    step_ms = med * 1e3
     return {
         "config": "paper 'hific' config, GAN + LPIPS, G+D per iteration",
         "patch": patch,
         "batch": batch,
-        "steps_timed": steps,
+        "timing": "device-side k-loop (bench.py methodology)",
+        "repeats": repeats,
         "step_ms": round(step_ms, 2),
+        "step_ms_min": round(float(np.min(times)) * 1e3, 2),
+        "step_ms_max": round(float(np.max(times)) * 1e3, 2),
         "images_per_s": round(batch / (step_ms / 1e3), 1),
         "init_s": round(init_s, 1),
-        "first_step_compile_s": round(compile_s, 1),
+        "k_loop_compile_s": round(compile_s, 1),
     }
 
 
@@ -466,7 +500,7 @@ def main():
     p.add_argument("--families", default="bls2017,bmshj2018,ms2020,hific")
     p.add_argument("--patch", type=int, default=256)
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--ref", type=int, default=1)
     p.add_argument("--tpu", type=int, default=1)
     p.add_argument("--ref_steps", type=int, default=3)
@@ -497,7 +531,7 @@ def main():
             bench_fn = (_bench_jax_hific if family == "hific"
                         else lambda p, b, s: _bench_jax_family(
                             family, p, b, s))
-            row["tpu"] = bench_fn(args.patch, args.batch, args.steps)
+            row["tpu"] = bench_fn(args.patch, args.batch, args.repeats)
             print(f"  tpu: {row['tpu']}", flush=True)
         if family == "hific":
             # No reference denominator: the reference HiFiC trains on
