@@ -23,6 +23,22 @@ _REF = "/root/reference"
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
 
+def ensure_ref_ops():
+    """Returns the path to ref_ops.so, building it on demand.
+
+    The .so is a gitignored build artifact (reference C++ kernels
+    compiled unmodified by build_ref_ops.sh), so a fresh checkout
+    doesn't have it; every loader goes through here instead of
+    assuming the file exists."""
+    so_path = os.path.join(_HERE, "ref_ops.so")
+    if not os.path.exists(so_path):
+        import subprocess
+        subprocess.run(
+            ["bash", os.path.join(_HERE, "build_ref_ops.sh")],
+            check=True, capture_output=True, timeout=600)
+    return so_path
+
+
 def load():
     """Returns a namespace with the reference modules loaded."""
     sys.path.insert(0, _HERE)
@@ -70,8 +86,7 @@ def load():
     # imports it.
     name = "tensorflow_compression.python.ops.gen_ops"
     if name not in sys.modules:
-        so_path = os.path.join(_HERE, "ref_ops.so")
-        ops = tf.load_op_library(so_path)
+        ops = tf.load_op_library(ensure_ref_ops())
         gen_ops = types.ModuleType(name)
         for n in dir(ops):
             if not n.startswith("_"):

@@ -12,6 +12,7 @@ published-model interop gap reduces to the GCS download alone
 """
 
 import os
+import sys
 
 import numpy as np
 import pytest
@@ -22,7 +23,8 @@ from compression_tpu.models import tfci  # noqa: E402
 from compression_tpu.util import datasets  # noqa: E402
 from compression_tpu.util.packed_tensors import PackedTensors  # noqa: E402
 
-REF_OPS = os.path.join(os.path.dirname(__file__), "golden", "ref_ops.so")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "golden"))
+from ref_stack import ensure_ref_ops  # noqa: E402
 
 
 def _build_metagraph():
@@ -30,7 +32,7 @@ def _build_metagraph():
     run-length-gamma codes (reference C++ kernel, ref_ops.so); receiver
     decodes and dequantizes.  Output keys are name-sorted, as the
     reference's signature handling requires."""
-    ops = tf.load_op_library(REF_OPS)
+    ops = tf.load_op_library(ensure_ref_ops())
     g = tf.Graph()
     with g.as_default():
         x = tf.compat.v1.placeholder(
